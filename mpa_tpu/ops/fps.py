@@ -1,0 +1,68 @@
+"""Farthest point sampling.
+
+Reference semantics: ``farthest_point_sample`` (modules/pointnet2_utils.py:84-109)
+— iterative: keep a running min-distance to the selected set, pick the argmax
+each step. The reference starts from ``torch.randint``; we default to a
+deterministic start (index 0) for reproducibility and accept a PRNG key for the
+stochastic behaviour. The part-seg variant of the reference runs FPS on feature
+tensors, not xyz (models/repsurf/repsurface_utils_part.py:4641) — this op is
+dimension-agnostic (any C) so both work.
+
+TPU design: the selection chain is inherently sequential (npoint steps), so we
+run a ``lax.fori_loop`` whose per-step work — one ``[B, N, C]`` distance update
+and one argmax — is fully batch-parallel on the VPU. All shapes static.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def farthest_point_sample(
+    points: jnp.ndarray,
+    npoint: int,
+    *,
+    key: Optional[jax.Array] = None,
+    start_idx: int = 0,
+) -> jnp.ndarray:
+    """Iterative farthest point sampling.
+
+    Args:
+      points: ``[B, N, C]`` point coordinates (or features — FPS in feature
+        space is a first-class mode, see module docstring).
+      npoint: number of samples (static, <= N).
+      key: optional PRNG key; when given, the start index is uniform random
+        per batch element (reference behaviour, modules/pointnet2_utils.py:96).
+      start_idx: deterministic start index used when ``key`` is None.
+
+    Returns:
+      ``[B, npoint]`` int32 indices into N.
+    """
+    B, N, C = points.shape
+    pts = points.astype(jnp.float32)
+
+    if key is not None:
+        first = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+    else:
+        first = jnp.full((B,), start_idx, dtype=jnp.int32)
+
+    def body(i, carry):
+        min_d, last, out = carry
+        # Distance from the last-selected point to all points: [B, N].
+        last_pt = jnp.take_along_axis(pts, last[:, None, None], axis=1)  # [B,1,C]
+        d = jnp.sum((pts - last_pt) ** 2, axis=-1)  # [B, N]
+        min_d = jnp.minimum(min_d, d)
+        nxt = jnp.argmax(min_d, axis=-1).astype(jnp.int32)  # [B]
+        out = out.at[:, i].set(last)
+        return min_d, nxt, out
+
+    init = (
+        jnp.full((B, N), jnp.inf, dtype=jnp.float32),
+        first,
+        jnp.zeros((B, npoint), dtype=jnp.int32),
+    )
+    _, _, out = jax.lax.fori_loop(0, npoint, body, init)
+    return out

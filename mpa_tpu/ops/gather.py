@@ -1,0 +1,45 @@
+"""Batched gathers — TPU equivalents of the reference's ``index_points`` /
+``resort_points`` (modules/pointnet2_utils.py:64-81, :289-307) and of the missing
+CUDA ``index_points(points, idx, cuda=, is_group=)`` (SURVEY.md §2.2).
+
+Implemented with ``jnp.take_along_axis`` so XLA lowers them to fused dynamic
+gathers that can melt into consumer ops instead of materializing index loops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather points by per-batch indices.
+
+    Args:
+      points: ``[B, N, C]``.
+      idx: integer indices ``[B, S]`` or ``[B, S, K]`` (or deeper: any
+        ``[B, *group_dims]``), values in ``[0, N)``.
+
+    Returns:
+      ``[B, S, C]`` / ``[B, S, K, C]`` / ``[B, *group_dims, C]`` gathered points.
+    """
+    B, N, C = points.shape
+    group_shape = idx.shape[1:]
+    flat_idx = idx.reshape(B, -1)  # [B, S*K*...]
+    gathered = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
+    return gathered.reshape((B,) + group_shape + (C,))
+
+
+def resort_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Reorder the group dim of ``[B, N, G, C]`` by a per-(B, N) permutation.
+
+    Used to sort umbrella neighbours by azimuth
+    (reference: modules/pointnet2_utils.py:289-307).
+
+    Args:
+      points: ``[B, N, G, C]``.
+      idx: ``[B, N, G]`` permutation of ``range(G)`` per (batch, point).
+
+    Returns:
+      ``[B, N, G, C]`` with the G axis permuted per (B, N).
+    """
+    return jnp.take_along_axis(points, idx[..., None], axis=2)

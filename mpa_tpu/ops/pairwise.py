@@ -1,0 +1,38 @@
+"""Pairwise squared-distance — the root op under kNN / ball query / interpolation.
+
+Reference semantics: ``square_distance`` at modules/pointnet2_utils.py:190-209
+(dup modules/repsurface_utils.py:129-148): ||a-b||^2 expanded as
+``sum(a^2) + sum(b^2) - 2 a.b^T`` so the O(N*M*C) term is a single matmul.
+On TPU the matmul lands on the MXU; the rank-1 corrections fuse into it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared L2 distance.
+
+    Args:
+      src: ``[..., N, C]`` query points/features.
+      dst: ``[..., M, C]`` base points/features.
+
+    Returns:
+      ``[..., N, M]`` squared distances (clamped at 0 against fp cancellation).
+    """
+    # -2 a.b^T on the MXU. Full fp32 (HIGHEST = 3-pass bf16 on TPU): distance
+    # *ordering* feeds top-k selection, so bf16 default precision is not enough.
+    cross = jnp.einsum(
+        "...nc,...mc->...nm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s2 = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1, keepdims=True)  # [..., N, 1]
+    d2 = jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1, keepdims=True)  # [..., M, 1]
+    d2 = jnp.swapaxes(d2, -1, -2)  # [..., 1, M]
+    out = s2 + d2 - 2.0 * cross
+    return jnp.maximum(out, 0.0)
