@@ -1,0 +1,14 @@
+"""L3 task models, addressed by a string registry (the TPU-native analogue of
+the reference's importlib model loading, util/utils.py:92-94)."""
+
+from mpa_tpu.models.registry import register_model, get_model, list_models
+from mpa_tpu.models.markov_cls import MarkovClassifier
+from mpa_tpu.models.repsurf_ssg_2x import RepSurfSSG2x
+
+__all__ = [
+    "register_model",
+    "get_model",
+    "list_models",
+    "MarkovClassifier",
+    "RepSurfSSG2x",
+]

@@ -1,0 +1,44 @@
+"""The basic MLP unit of every Markov block: Dense + norm + LeakyReLU(0.2).
+
+Reference semantics: ``Linear`` (modules/repsurface_utils.py:380-404). NOTE the
+reference's flag is inverted — ``bn=True`` selects LayerNorm and ``bn=False``
+selects BatchNorm1d-over-channels; every live Markov block passes ``bn=False``
+(BatchNorm). Here that is an explicit ``norm`` field; default 'batch' matches
+the live configuration.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+
+
+class LinearUnit(nn.Module):
+    """Dense -> {BatchNorm | LayerNorm | none} -> optional LeakyReLU(0.2).
+
+    BatchNorm statistics reduce over every non-channel axis, matching the
+    reference's BatchNorm1d applied to ``[B, C, N]`` (stats over batch and
+    points). Under a data-parallel ``jit`` with a sharded batch, XLA computes
+    these reductions globally — cross-replica BN comes for free.
+    """
+
+    features: int
+    norm: Optional[str] = "batch"  # 'batch' | 'layer' | None
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        x = nn.Dense(self.features, name="linear")(x)
+        if self.norm == "layer":
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        elif self.norm == "batch":
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm"
+            )(x)
+        elif self.norm is not None:
+            raise ValueError(f"unknown norm: {self.norm}")
+        if self.act:
+            x = jax.nn.leaky_relu(x, negative_slope=0.2)
+        return x

@@ -1,0 +1,87 @@
+"""LocalMerge — one Markov "state transition" between point-set scales.
+
+Reference semantics: ``LocalMerge`` (modules/repsurface_utils.py:406-446,
+cls variant; the part-seg encoder/decoder variants at
+modules/pointnet2_utils.py:427-477 and models/repsurf/repsurface_utils_part.py:4205-4246
+are collapsed into this one configurable block). Given fine ``base_xyz`` and a
+coarse subset ``xyz`` (FPS of the fine set):
+
+- first layer (no features yet): one geometric LocalTrans on coordinates;
+- later layers: two parallel LocalTrans — one over the *spatial* kNN of the
+  coarse points in the fine set, one over the *feature-space* kNN — whose
+  concat passes through a fusing LinearUnit.
+
+Returns ``(features, knn_idx, knn_dist)``; the reference also threads a
+``normal`` tensor through, but it is never consumed in any live path
+(modules/repsurface_utils.py:418,429 — normal_Trans call commented out), so it
+is dropped from this API.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mpa_tpu.ops.knn import knn
+from mpa_tpu.ops.gather import index_points
+from mpa_tpu.nn.linear import LinearUnit
+from mpa_tpu.nn.local_trans import LocalTrans
+
+
+class LocalMerge(nn.Module):
+    out_channels: int
+    num_neighbors: int = 8
+    residual: bool = False  # residual projection inside the two feature LocalTrans
+    use_tanh: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz,
+        base_xyz,
+        feature: Optional[jnp.ndarray] = None,
+        fps_idx: Optional[jnp.ndarray] = None,
+        *,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """xyz: ``[B, S, 3]`` coarse centres; base_xyz: ``[B, N, 3]`` fine set;
+        feature: ``[B, N, C]`` fine features (None on the first state);
+        fps_idx: ``[B, S]`` indices realizing xyz = base_xyz[fps_idx]."""
+        dist, idx = knn(self.num_neighbors, base_xyz, xyz)  # spatial kNN [B,S,K]
+
+        if feature is None:
+            out = LocalTrans(
+                self.out_channels,
+                self.num_neighbors,
+                residual_proj=True,
+                use_tanh=self.use_tanh,
+                name="xyz_trans",
+            )(base_xyz, xyz, idx, xyz_mode=True, train=train)
+            return out, idx, dist
+
+        center_feat = (
+            index_points(feature, fps_idx) if fps_idx is not None else feature
+        )
+        # Feature-space kNN: neighbours of the coarse features among the fine.
+        _, idx_feat = knn(self.num_neighbors, feature, center_feat)
+
+        m1 = LocalTrans(
+            self.out_channels,
+            self.num_neighbors,
+            residual_proj=self.residual,
+            use_tanh=self.use_tanh,
+            name="feature_trans",
+        )(feature, center_feat, idx, train=train)
+        m2 = LocalTrans(
+            self.out_channels,
+            self.num_neighbors,
+            residual_proj=self.residual,
+            use_tanh=self.use_tanh,
+            name="feature_trans2",
+        )(feature, center_feat, idx_feat, train=train)
+        out = LinearUnit(self.out_channels, norm="batch", name="fc2")(
+            jnp.concatenate([m1, m2], axis=-1), train=train
+        )
+        return out, idx, dist
