@@ -1,0 +1,65 @@
+"""Headline benchmark: training throughput (clouds/sec/chip) of the flagship
+MarkovClassifier on the ScanObjectNN configuration (1024 points), full train
+step (forward + backward + optimizer update), steady state on one chip.
+
+Baseline: the reference trains ~21.5 clouds/s on its GPU
+(log timestamps, BASELINE.md). Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CLOUDS_PER_SEC = 21.5
+BATCH = 64
+NUM_POINTS = 1024
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from mpa_tpu.models import get_model
+    from mpa_tpu import train as tr
+
+    model = get_model("markov_cls", num_classes=15)
+    points = jax.random.normal(
+        jax.random.key(0), (BATCH, NUM_POINTS, 3), jnp.float32
+    )
+    labels = jax.random.randint(jax.random.key(1), (BATCH,), 0, 15)
+
+    tx = tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4)
+    state = tr.create_train_state(model, jax.random.key(2), points[:2], tx)
+    step = jax.jit(tr.make_train_step(tr.smooth_cls_loss), donate_argnums=(0,))
+
+    rng = jax.random.key(3)
+    for _ in range(WARMUP):
+        state, loss = step(state, points, labels, rng)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, loss = step(state, points, labels, rng)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    clouds_per_sec = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_clouds_per_sec_per_chip",
+                "value": round(clouds_per_sec, 2),
+                "unit": "clouds/s",
+                "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

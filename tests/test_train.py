@@ -1,0 +1,214 @@
+"""Training-layer tests: losses vs torch oracles, schedules, metric protocol,
+vote TTA, checkpoint round-trip, end-to-end loss descent, and the sharded
+multi-device train step on the virtual 8-CPU mesh."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mpa_tpu import train as tr  # noqa: E402
+from mpa_tpu.models import MarkovClassifier  # noqa: E402
+from mpa_tpu.data import synthetic_clouds  # noqa: E402
+from mpa_tpu.parallel import make_mesh, shard_batch, replicate, jit_sharded_train_step  # noqa: E402
+from mpa_tpu.train.checkpoint import BestCheckpointer  # noqa: E402
+from mpa_tpu.train.votes import vote_predict  # noqa: E402
+
+
+def tiny_model(num_classes=4):
+    return MarkovClassifier(
+        num_classes=num_classes,
+        npoints=(16, 8),
+        channels=(16, 16, 32),
+        residuals=(True, False, True),
+        encoder_features=64,
+    )
+
+
+class TestLosses:
+    def test_smooth_cls_matches_torch_oracle(self):
+        r = np.random.default_rng(0)
+        logits = r.normal(size=(8, 10)).astype(np.float32)
+        labels = r.integers(0, 10, size=(8,))
+        logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+        got = float(tr.smooth_cls_loss(logp, jnp.asarray(labels)))
+
+        # torch oracle replicating util/utils.py:74-88 semantics
+        tp = F.log_softmax(torch.from_numpy(logits), dim=1)
+        t = torch.from_numpy(labels)
+        eps, n = 0.1, 10
+        one_hot = torch.zeros_like(tp).scatter(1, t.view(-1, 1), 1)
+        one_hot = one_hot * (1 - eps) + (1 - one_hot) * eps / (n - 1)
+        want = float(-(one_hot * tp).sum(dim=1).mean())
+        assert abs(got - want) < 1e-6
+
+    def test_nll(self):
+        logp = jnp.log(jnp.array([[0.7, 0.3], [0.2, 0.8]]))
+        labels = jnp.array([0, 1])
+        want = -(np.log(0.7) + np.log(0.8)) / 2
+        assert abs(float(tr.cls_loss(logp, labels)) - want) < 1e-6
+
+    def test_seg_loss_shape(self):
+        logp = jax.nn.log_softmax(jnp.zeros((2, 16, 5)), axis=-1)
+        labels = jnp.zeros((2, 16), dtype=jnp.int32)
+        assert float(tr.smooth_seg_loss(logp, labels)) > 0
+
+
+class TestSchedules:
+    def test_step_decay_with_reference_offset(self):
+        # Reference quirk: scheduler stepped before epoch 0 (offset=1):
+        # epochs 0..18 run at lr0*0.7^0? No: floor((e+1)/20): e=19 -> 0.7^1.
+        s = tr.step_decay_schedule(1e-3, 20, 0.7, epoch_offset=1)
+        assert abs(float(s(0)) - 1e-3) < 1e-9
+        assert abs(float(s(19)) - 0.7e-3) < 1e-9
+        assert abs(float(s(39)) - 0.49e-3) < 1e-9
+
+    def test_cosine_matches_torch(self):
+        sched = tr.cosine_schedule(0.1, 300, eta_min=1e-3)
+        # torch CosineAnnealingLR closed form
+        for e in [0, 100, 299, 300]:
+            want = 1e-3 + 0.5 * (0.1 - 1e-3) * (1 + np.cos(np.pi * min(e, 300) / 300))
+            assert abs(float(sched(e)) - want) < 1e-7
+
+
+class TestMetrics:
+    def test_cls_metrics(self):
+        pred = np.array([0, 1, 1, 2])
+        lab = np.array([0, 1, 2, 2])
+        assert tr.instance_accuracy(pred, lab) == 0.75
+        # class 0: 1.0, class 1: 1.0, class 2: 0.5
+        assert abs(tr.class_average_accuracy(pred, lab, 3) - (1 + 1 + 0.5) / 3) < 1e-9
+
+    def test_part_iou_protocol(self):
+        seg_parts = [[0, 1], [2, 3, 4]]
+        # Shape of cat 0: perfect on part 0, part 1 absent in both -> IoU 1.
+        pred = [np.array([0, 0, 0])]
+        tgt = [np.array([0, 0, 0])]
+        ins, cls, cat = tr.part_iou_metrics(pred, tgt, [0], seg_parts)
+        assert ins == 1.0 and cls == 1.0
+
+        # Half overlap on part 2 of cat 1; parts 3,4 absent.
+        pred = [np.array([2, 2, 3, 3])]
+        tgt = [np.array([2, 2, 2, 2])]
+        ins, cls, cat = tr.part_iou_metrics(pred, tgt, [1], seg_parts)
+        # part2: i=2,u=4 -> .5; part3: i=0,u=2 -> 0; part4 absent -> 1
+        assert abs(ins - np.mean([0.5, 0.0, 1.0])) < 1e-9
+
+    def test_category_masked_argmax(self):
+        logits = np.zeros((1, 2, 5))
+        logits[0, :, 4] = 10.0  # best global part is 4 ...
+        cats = np.array([0])  # ... but cat 0 only owns parts [0, 1]
+        logits[0, 0, 1] = 1.0
+        out = tr.metrics.category_masked_argmax(logits, cats, [[0, 1], [2, 3, 4]])
+        assert out[0, 0] == 1 and out[0, 1] in (0, 1)
+
+
+class TestEndToEnd:
+    def test_loss_decreases_on_synthetic(self):
+        model = tiny_model()
+        pts, labels = synthetic_clouds(32, num_points=64, num_classes=4)
+        pts_j, labels_j = jnp.asarray(pts), jnp.asarray(labels)
+
+        tx = tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4)
+        state = tr.create_train_state(model, jax.random.key(0), pts_j[:4], tx)
+        step = jax.jit(tr.make_train_step(tr.smooth_cls_loss))
+
+        rng = jax.random.key(42)
+        losses = []
+        for i in range(8):
+            state, loss = step(state, pts_j, labels_j, rng)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+    def test_eval_step_deterministic(self):
+        model = tiny_model()
+        pts, _ = synthetic_clouds(8, num_points=64, num_classes=4)
+        tx = tr.make_optimizer("sgd", 0.1)
+        state = tr.create_train_state(model, jax.random.key(0), jnp.asarray(pts), tx)
+        ev = jax.jit(tr.make_eval_step())
+        a = np.asarray(ev(state, jnp.asarray(pts)))
+        b = np.asarray(ev(state, jnp.asarray(pts)))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestMultiDevice:
+    def test_sharded_train_step_matches_single_device(self):
+        assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+        model = tiny_model()
+        pts, labels = synthetic_clouds(16, num_points=32, num_classes=4)
+        pts_j, labels_j = jnp.asarray(pts), jnp.asarray(labels)
+
+        # Plain SGD: the update is linear in the gradient, so single- vs
+        # multi-device parameters may differ only by fp reduction-order noise.
+        # (Adam's rsqrt normalization would amplify near-zero-grad noise into
+        # O(lr) sign flips — not a sharding bug, just not a usable oracle.)
+        tx = tr.make_optimizer("sgd", 0.1, momentum=0.0)
+        state = tr.create_train_state(model, jax.random.key(0), pts_j[:2], tx)
+        raw_step = tr.make_train_step(tr.smooth_cls_loss)
+        rng = jax.random.key(1)
+
+        # Single-device reference.
+        s1, loss1 = jax.jit(raw_step)(state, pts_j, labels_j, rng)
+
+        # 8-way data-parallel.
+        mesh = make_mesh(axis_names=("data",))
+        sharded = jit_sharded_train_step(raw_step, mesh)
+        state8 = replicate(
+            tr.create_train_state(model, jax.random.key(0), pts_j[:2], tx), mesh
+        )
+        p8, l8 = shard_batch((pts_j, labels_j), mesh)
+        s8, loss8 = sharded(state8, p8, l8, replicate(rng, mesh))
+
+        assert abs(float(loss1) - float(loss8)) < 1e-5
+        # Parameters after one step must agree (global BN stats + psum grads).
+        flat1 = jax.tree_util.tree_leaves(s1.params)
+        flat8 = jax.tree_util.tree_leaves(s8.params)
+        for a, b in zip(flat1, flat8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestVotes:
+    def test_vote_pool_mean_and_clean_first_vote(self):
+        calls = []
+
+        def forward(x):
+            calls.append(np.asarray(x))
+            return jnp.ones((x.shape[0], 3)) * float(len(calls))
+
+        pts = jnp.ones((2, 8, 3))
+        pool, single = vote_predict(forward, pts, jax.random.key(0), num_votes=3)
+        np.testing.assert_allclose(np.asarray(single), 1.0)
+        np.testing.assert_allclose(np.asarray(pool), (1 + 2 + 3) / 3)
+        np.testing.assert_array_equal(calls[0], np.asarray(pts))  # vote 0 clean
+        assert not np.array_equal(calls[1], np.asarray(pts))  # vote 1 scaled
+
+
+class TestCheckpoint:
+    def test_best_policy_and_roundtrip(self, tmp_path):
+        model = tiny_model()
+        pts, _ = synthetic_clouds(4, num_points=32, num_classes=4)
+        tx = tr.make_optimizer("adam-l2", 1e-3)
+        state = tr.create_train_state(model, jax.random.key(0), jnp.asarray(pts), tx)
+
+        ck = BestCheckpointer(str(tmp_path / "ckpt"))
+        assert ck.save_if_best(state, 0.5)
+        assert not ck.save_if_best(state, 0.4)  # not better
+        state2 = state.replace(step=123)
+        assert ck.save_if_best(state2, 0.9)
+
+        fresh = tr.create_train_state(model, jax.random.key(7), jnp.asarray(pts), tx)
+        restored, metric = BestCheckpointer(str(tmp_path / "ckpt")).restore(fresh)
+        assert metric == pytest.approx(0.9)
+        assert int(restored.step) == 123
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(state2.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
