@@ -1,0 +1,224 @@
+"""Training CLI — the TPU-native successor of tool/train_cls_scanobjectnn.py
+and tool/train_partseg.py.
+
+Usage:
+  python -m mpa_tpu.cli.train --task cls --dataset synthetic --epochs 2
+  python -m mpa_tpu.cli.train --task cls --dataset scanobjectnn --data_root /data/scanobjectnn
+  python -m mpa_tpu.cli.train --task partseg --dataset shapenetpart --data_root /data/shapenetpart
+
+Defaults reproduce the reference configs (cls: Adam 1e-3/wd 1e-4/StepLR 20x0.7,
+batch 64, 1024 pts, seed 2800, 3-vote eval; partseg: SGD .1/.9/1e-4 cosine,
+2048 pts). Runs single-chip or data-parallel over every visible device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpa_tpu.utils.config import TrainConfig, add_config_flags, config_from_args
+from mpa_tpu.utils.logging import make_logger
+from mpa_tpu.utils.init import set_seed
+from mpa_tpu.utils.profiling import count_params
+from mpa_tpu import train as tr
+from mpa_tpu.models import get_model
+from mpa_tpu.data import augment, synthetic_clouds, synthetic_partseg
+from mpa_tpu.data.shapenetpart import to_categorical, SEG_PARTS, NUM_PARTS, NUM_CATEGORIES
+from mpa_tpu.parallel import make_mesh, shard_batch, replicate, jit_sharded_train_step
+from mpa_tpu.train.checkpoint import BestCheckpointer
+from mpa_tpu.train.votes import vote_predict
+
+
+def load_dataset(cfg: TrainConfig):
+    """Returns (train_arrays, test_arrays) where arrays are task-specific."""
+    if cfg.dataset == "synthetic":
+        if cfg.task == "partseg":
+            tr_d = synthetic_partseg(256, cfg.num_points, NUM_CATEGORIES, NUM_PARTS, seed=0)
+            te_d = synthetic_partseg(64, cfg.num_points, NUM_CATEGORIES, NUM_PARTS, seed=1)
+        else:
+            tr_d = synthetic_clouds(512, cfg.num_points, cfg.num_classes, seed=0)
+            te_d = synthetic_clouds(128, cfg.num_points, cfg.num_classes, seed=1)
+        return tr_d, te_d
+    if cfg.dataset == "scanobjectnn":
+        from mpa_tpu.data.scanobjectnn import load_scanobjectnn
+
+        return (
+            load_scanobjectnn(cfg.data_root, "training"),
+            load_scanobjectnn(cfg.data_root, "test"),
+        )
+    if cfg.dataset == "modelnet40":
+        from mpa_tpu.data.modelnet import load_modelnet
+
+        tr_p, tr_l, _ = load_modelnet(cfg.data_root, "train", 40, cfg.num_points)
+        te_p, te_l, _ = load_modelnet(cfg.data_root, "test", 40, cfg.num_points)
+        return (tr_p, tr_l), (te_p, te_l)
+    if cfg.dataset == "shapenetpart":
+        from mpa_tpu.data.shapenetpart import load_split
+
+        return (
+            load_split(cfg.data_root, "trainval", cfg.num_points),
+            load_split(cfg.data_root, "test", cfg.num_points),
+        )
+    raise ValueError(f"unknown dataset {cfg.dataset}")
+
+
+def batches(arrays, batch_size: int, rng: np.random.Generator, drop_last=True):
+    n = len(arrays[0])
+    order = rng.permutation(n)
+    stop = n - n % batch_size if drop_last else n
+    for i in range(0, stop, batch_size):
+        idx = order[i : i + batch_size]
+        yield tuple(a[idx] for a in arrays)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser, TrainConfig())
+    parser.add_argument("--max_steps", type=int, default=0, help="early stop for smoke runs")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu); this image pins "
+                             "JAX_PLATFORMS=axon so the env route is dead")
+    args = parser.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg = config_from_args(args)
+
+    if cfg.task == "partseg" and cfg.model == "markov_cls":
+        cfg = cfg.with_overrides(
+            model="markov_partseg", optimizer="sgd", learning_rate=0.1,
+            scheduler="cos", num_points=2048 if cfg.dataset != "synthetic" else cfg.num_points,
+        )
+
+    log = make_logger(os.path.join(cfg.log_dir, f"{cfg.task}_{cfg.dataset}"))
+    log.info(f"config: {cfg}")
+    root_key = set_seed(cfg.seed)
+
+    train_arrays, test_arrays = load_dataset(cfg)
+    n_train = len(train_arrays[0])
+    steps_per_epoch = max(1, n_train // cfg.batch_size)
+
+    # --- model / optimizer ---------------------------------------------------
+    if cfg.task == "partseg":
+        model = get_model(cfg.model, num_parts=NUM_PARTS, num_categories=NUM_CATEGORIES)
+        loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, cfg.label_smoothing)
+    else:
+        model = get_model(cfg.model, num_classes=cfg.num_classes)
+        loss_fn = lambda out, labels: tr.smooth_cls_loss(out, labels, cfg.label_smoothing)
+
+    if cfg.scheduler == "cos":
+        epoch_sched = tr.cosine_schedule(cfg.learning_rate, cfg.epochs, cfg.eta_min)
+    else:
+        epoch_sched = tr.step_decay_schedule(cfg.learning_rate, cfg.decay_step, cfg.decay_gamma)
+    step_sched = lambda step: epoch_sched(step // steps_per_epoch)
+    tx = tr.make_optimizer(cfg.optimizer, step_sched, cfg.weight_decay, cfg.momentum)
+
+    def make_inputs(batch):
+        if cfg.task == "partseg":
+            pts, cats, segs = batch
+            return (jnp.asarray(pts), jnp.asarray(to_categorical(cats))), jnp.asarray(segs), cats
+        pts, labels = batch
+        return jnp.asarray(pts), jnp.asarray(labels), None
+
+    example = next(batches(train_arrays, min(2, cfg.batch_size), np.random.default_rng(0)))
+    ex_inputs, _, _ = make_inputs(example)
+    state = tr.create_train_state(model, jax.random.fold_in(root_key, 0), ex_inputs, tx)
+    log.info(f"model {cfg.model}: {count_params(state.params) / 1e6:.2f}M params; "
+             f"devices: {jax.device_count()}")
+
+    mesh = make_mesh(axis_names=cfg.mesh_axes)
+    train_step = jit_sharded_train_step(tr.make_train_step(loss_fn), mesh)
+    eval_step = jax.jit(tr.make_eval_step())
+    state = replicate(state, mesh)
+    step_rng = replicate(jax.random.fold_in(root_key, 1), mesh)
+
+    ckpt = BestCheckpointer(os.path.join(cfg.log_dir, f"{cfg.task}_{cfg.dataset}", "checkpoints"))
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state, best = restored
+        log.info(f"resumed from checkpoint (best={best:.4f})")
+
+    data_rng = np.random.default_rng(cfg.seed)
+    aug_key = jax.random.fold_in(root_key, 2)
+    global_step = 0
+    for epoch in range(cfg.epochs):
+        t0 = time.time()
+        epoch_loss, nb = 0.0, 0
+        for batch in batches(train_arrays, cfg.batch_size, data_rng):
+            inputs, labels, _ = make_inputs(batch)
+            if cfg.task == "partseg" or cfg.aug_scale or cfg.aug_shift:
+                k = jax.random.fold_in(aug_key, global_step)
+                pts = inputs[0] if cfg.task == "partseg" else inputs
+                pts = augment.random_scale(jax.random.fold_in(k, 0), pts)
+                pts = augment.random_shift(jax.random.fold_in(k, 1), pts)
+                inputs = (pts, inputs[1]) if cfg.task == "partseg" else pts
+            sharded = shard_batch((inputs, labels), mesh)
+            state, loss = train_step(state, sharded[0], sharded[1], step_rng)
+            epoch_loss += float(loss)
+            nb += 1
+            global_step += 1
+            if args.max_steps and global_step >= args.max_steps:
+                break
+        log.info(
+            f"epoch {epoch}: loss {epoch_loss / max(nb, 1):.4f} "
+            f"({time.time() - t0:.1f}s, {nb * cfg.batch_size / max(time.time() - t0, 1e-9):.1f} clouds/s)"
+        )
+        log.metrics(global_step, epoch=epoch, train_loss=epoch_loss / max(nb, 1))
+
+        if epoch >= cfg.min_val_epoch:
+            metric = evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epoch)
+            if ckpt.save_if_best(state, metric):
+                log.info(f"new best {metric:.4f} -> checkpoint")
+        if args.max_steps and global_step >= args.max_steps:
+            break
+
+
+def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epoch) -> float:
+    from mpa_tpu.train import metrics as M
+
+    if cfg.task == "partseg":
+        preds, tgts, cats_all = [], [], []
+        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+            inputs, labels, cats = make_inputs(batch)
+            logp = np.asarray(eval_step(state, inputs))
+            pred = M.category_masked_argmax(logp, cats, SEG_PARTS)
+            preds += list(pred)
+            tgts += list(np.asarray(labels))
+            cats_all += list(cats)
+        ins, cls_m, _ = tr.part_iou_metrics(preds, tgts, cats_all, SEG_PARTS)
+        log.info(f"eval epoch {epoch}: ins-mIoU {ins:.4f} class-mIoU {cls_m:.4f}")
+        log.metrics(epoch, ins_miou=ins, class_miou=cls_m)
+        return ins
+
+    votes, singles, labels_all = [], [], []
+    vote_key = jax.random.fold_in(root_key, 99)
+    for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+        inputs, labels, _ = make_inputs(batch)
+        pool, single = vote_predict(
+            lambda x: eval_step(state, x), inputs, vote_key, cfg.num_votes
+        )
+        votes.append(np.asarray(pool))
+        singles.append(np.asarray(single))
+        labels_all.append(np.asarray(labels))
+    votes_np = np.concatenate(votes)
+    labels_np = np.concatenate(labels_all)
+    pred = votes_np.argmax(-1)
+    acc = M.instance_accuracy(pred, labels_np)
+    cls_acc = M.class_average_accuracy(pred, labels_np, cfg.num_classes)
+    sing_acc = M.instance_accuracy(np.concatenate(singles).argmax(-1), labels_np)
+    log.info(
+        f"eval epoch {epoch}: vote-acc {acc:.4f} single-acc {sing_acc:.4f} class-acc {cls_acc:.4f}"
+    )
+    log.metrics(epoch, vote_acc=acc, single_acc=sing_acc, class_acc=cls_acc)
+    return acc
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""ModelNet10/40 reader.
+
+Reference semantics: ``ModelNetDataLoader`` (dataset/ModelNetDataLoader.py:44-132):
+per-shape comma-separated .txt of xyz+normal, catfile
+``modelnet{10,40}_shape_names.txt``, split lists
+``modelnet{10,40}_{train,test}.txt``, pc_normalize, optional offline FPS
+down to ``num_point`` with a pickle cache (here: plain first-N or FPS at load,
+no pickle side-files), ``use_normals`` channel slice.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from mpa_tpu.data.shapenetpart import pc_normalize
+
+
+def _fps_numpy(points: np.ndarray, n: int) -> np.ndarray:
+    """Single-cloud FPS (reference dataset/ModelNetDataLoader.py:20-41)."""
+    N = points.shape[0]
+    out = np.zeros((n,), dtype=np.int64)
+    dist = np.full((N,), np.inf)
+    far = 0
+    for i in range(n):
+        out[i] = far
+        d = np.sum((points[:, :3] - points[far, :3]) ** 2, axis=-1)
+        dist = np.minimum(dist, d)
+        far = int(np.argmax(dist))
+    return out
+
+
+def load_modelnet(
+    root: str,
+    split: str = "train",
+    num_category: int = 40,
+    num_point: int = 1024,
+    use_normals: bool = False,
+    use_fps: bool = False,
+    limit: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Returns (points ``[M, num_point, C]``, labels ``[M]``, class names)."""
+    catfile = os.path.join(root, f"modelnet{num_category}_shape_names.txt")
+    classes = [line.strip() for line in open(catfile)]
+    cls_index = {c: i for i, c in enumerate(classes)}
+
+    ids = [
+        line.strip()
+        for line in open(os.path.join(root, f"modelnet{num_category}_{split}.txt"))
+    ]
+    if limit is not None:
+        ids = ids[:limit]
+
+    C = 6 if use_normals else 3
+    pts = np.zeros((len(ids), num_point, C), np.float32)
+    labels = np.zeros((len(ids),), np.int64)
+    for i, shape_id in enumerate(ids):
+        name = "_".join(shape_id.split("_")[:-1])
+        path = os.path.join(root, name, shape_id + ".txt")
+        cloud = np.loadtxt(path, delimiter=",").astype(np.float32)
+        if use_fps:
+            cloud = cloud[_fps_numpy(cloud, num_point)]
+        else:
+            cloud = cloud[:num_point]
+        cloud[:, :3] = pc_normalize(cloud[:, :3])
+        pts[i] = cloud[:, :C]
+        labels[i] = cls_index[name]
+    return pts, labels, classes

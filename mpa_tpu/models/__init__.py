@@ -4,6 +4,7 @@ the reference's importlib model loading, util/utils.py:92-94)."""
 from mpa_tpu.models.registry import register_model, get_model, list_models
 from mpa_tpu.models.markov_cls import MarkovClassifier
 from mpa_tpu.models.repsurf_ssg_2x import RepSurfSSG2x
+from mpa_tpu.models.markov_partseg import MarkovPartSeg
 
 __all__ = [
     "register_model",
@@ -11,4 +12,5 @@ __all__ = [
     "list_models",
     "MarkovClassifier",
     "RepSurfSSG2x",
+    "MarkovPartSeg",
 ]

@@ -18,6 +18,9 @@ from mpa_tpu.nn.surface_abstraction import (
     SurfaceAbstractionCD,
 )
 from mpa_tpu.nn.keephigh import KeepHighResolutionEncoder
+from mpa_tpu.nn.fuse import Fuse, compose_fps_chain
+from mpa_tpu.nn.feature_propagation import PointNetFeaturePropagation
+from mpa_tpu.nn.keephigh_partseg import KeepHighResolutionPartSeg
 
 __all__ = [
     "LinearUnit",
@@ -29,4 +32,8 @@ __all__ = [
     "SurfaceAbstraction",
     "SurfaceAbstractionCD",
     "KeepHighResolutionEncoder",
+    "Fuse",
+    "compose_fps_chain",
+    "PointNetFeaturePropagation",
+    "KeepHighResolutionPartSeg",
 ]

@@ -1,0 +1,147 @@
+"""KeepHighResolution part-segmentation encoder-decoder.
+
+Reference semantics: ``KeepHighResolutionModulePartSeg``
+(modules/pointnet2_utils.py:711-858 — the variant that produced the published
+86.76% ins-mIoU, per the module printout in
+log/part_seg/res/logs/pointnet2_part_seg_msg.txt):
+
+- encoder: 5 Markov states N = 2048 -> 1024 -> 512 -> 256 -> 128 (la0..la4,
+  channels 64, 64, 64, 128, 256), each a 3-branch LocalMerge (xyz + spatial
+  kNN + feature kNN);
+- decoder: at the coarsest state a LinearUnit(256) then fuse toward scale 4;
+  then for each finer scale: scatter-mean ``upsample`` with the ENCODER's
+  stored kNN index, a projecting up_conv, a self-attention LocalMerge
+  (xyz == base_xyz) and a Fuse toward that scale. NOTE the reference feeds
+  fuse2..fuse5 a mix of updated and PRE-decoder features (e.g. fuse2 gets the
+  un-updated f4) — replicated exactly;
+- per-point output: concat of conv5(finest decoder features)[256], the
+  576-wide concat of per-scale global max pools, and the one-hot class label
+  through conv7(16 -> 64) = 896 channels.
+
+The reference's ``start``/``conv6``/``conv8``/``normal`` inputs are dead
+(never consumed) and omitted.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mpa_tpu.ops import farthest_point_sample, index_points, scatter_mean_upsample
+from mpa_tpu.nn.linear import LinearUnit
+from mpa_tpu.nn.local_merge import LocalMerge
+from mpa_tpu.nn.fuse import Fuse
+
+
+class KeepHighResolutionPartSeg(nn.Module):
+    npoints: Sequence[int] = (1024, 512, 256, 128)  # scales 1..4 (scale 0 = input N)
+    channels: Sequence[int] = (64, 64, 64, 128, 256)  # c0..c4
+    residuals: Sequence[bool] = (True, False, False, True, True)
+    num_neighbors: int = 8
+    num_categories: int = 16
+    label_channels: int = 64
+    point_channels: int = 256  # conv5 width on the finest decoder features
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz,
+        label_onehot,
+        *,
+        train: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """xyz ``[B, N, 3]``, label_onehot ``[B, num_categories]`` ->
+        (xyz, per-point features ``[B, N, 896]``)."""
+        B, N, _ = xyz.shape
+        ch = self.channels
+        n_scales = len(self.npoints) + 1
+
+        fps_keys = None
+        if rng is not None and train:
+            fps_keys = jax.random.split(rng, len(self.npoints))
+
+        # ---- encoder ladder ------------------------------------------------
+        feats = [None] * n_scales
+        positions = [xyz] + [None] * len(self.npoints)
+        fps_list = []
+        knn_list = [None] * n_scales  # knn_list[s]: scale-s queries into scale s-1
+        dist_list = [None] * n_scales
+
+        f, idx0, d0 = LocalMerge(
+            ch[0], self.num_neighbors, residual=self.residuals[0],
+            include_xyz_branch=True, name="la0",
+        )(xyz, xyz, train=train)
+        feats[0] = f
+        knn_list[0], dist_list[0] = idx0, d0  # self-kNN of the full cloud
+
+        cur_xyz = xyz
+        for i, npoint in enumerate(self.npoints):
+            fps_idx = farthest_point_sample(
+                cur_xyz, npoint, key=None if fps_keys is None else fps_keys[i]
+            )
+            new_xyz = index_points(cur_xyz, fps_idx)
+            f, idx_i, d_i = LocalMerge(
+                ch[i + 1], self.num_neighbors, residual=self.residuals[i + 1],
+                include_xyz_branch=True, name=f"la{i + 1}",
+            )(new_xyz, cur_xyz, feature=feats[i], fps_idx=fps_idx, train=train)
+            feats[i + 1] = f
+            positions[i + 1] = new_xyz
+            fps_list.append(fps_idx)
+            knn_list[i + 1], dist_list[i + 1] = idx_i, d_i
+            cur_xyz = new_xyz
+
+        # ---- decoder: up-states interleaved with cross-scale Fuse ----------
+        fuse_ch = tuple(ch)
+        f4u = LinearUnit(ch[4], norm="batch", name="mlp")(feats[4], train=train)
+        f4u = Fuse(fuse_ch, self.num_neighbors, name="fuse1")(
+            4, [feats[0], feats[1], feats[2], feats[3], f4u],
+            fps_list, knn_list, positions, train=train,
+        )[4]
+
+        up_feats = [None] * n_scales
+        up_feats[4] = f4u
+        # Decoder ladder: scale s gets upsample(up_feats[s+1], encoder knn of
+        # scale s+1) -> up_conv -> self LocalMerge -> Fuse toward s.
+        # The reference's fuse inputs per step (mix of pre/post decoder):
+        fuse_src = {
+            3: lambda: [feats[0], feats[1], feats[2], up_feats[3], feats[4]],
+            2: lambda: [feats[0], feats[1], up_feats[2], feats[3], feats[4]],
+            1: lambda: [feats[0], up_feats[1], feats[2], feats[3], feats[4]],
+            0: lambda: [up_feats[0], feats[1], feats[2], feats[3], feats[4]],
+        }
+        for step, s in enumerate((3, 2, 1, 0)):
+            source = up_feats[s + 1]
+            num_fine = positions[s].shape[1]
+            up = scatter_mean_upsample(source, knn_list[s + 1], num_fine)
+            up = LinearUnit(ch[s], norm="batch", name=f"up_conv{s + 1}")(
+                up, train=train
+            )
+            f_s, _, _ = LocalMerge(
+                ch[s], self.num_neighbors, residual=False,
+                include_xyz_branch=True, name=f"la{s + 1}_up",
+            )(positions[s], positions[s], feature=up, train=train)
+            up_feats[s] = f_s
+            up_feats[s] = Fuse(fuse_ch, self.num_neighbors, name=f"fuse{step + 2}")(
+                s, fuse_src[s](), fps_list, knn_list, positions, train=train
+            )[s]
+
+        # ---- per-point output ---------------------------------------------
+        global_rep = jnp.concatenate(
+            [jnp.max(up_feats[s], axis=1) for s in range(n_scales)], axis=-1
+        )  # [B, 576]
+        global_rep = jnp.broadcast_to(
+            global_rep[:, None, :], (B, N, global_rep.shape[-1])
+        )
+        label = LinearUnit(self.label_channels, norm="batch", name="conv7")(
+            label_onehot[:, None, :], train=train
+        )
+        label = jnp.broadcast_to(label, (B, N, self.label_channels))
+        points_up = LinearUnit(self.point_channels, norm="batch", name="conv5")(
+            up_feats[0], train=train
+        )
+        final = jnp.concatenate([points_up, global_rep, label], axis=-1)
+        return xyz, final

@@ -35,6 +35,10 @@ class LocalMerge(nn.Module):
     num_neighbors: int = 8
     residual: bool = False  # residual projection inside the two feature LocalTrans
     use_tanh: bool = False
+    # Part-seg encoder/decoder variant (modules/pointnet2_utils.py:427-477):
+    # a geometric LocalTrans branch runs alongside the two feature branches and
+    # the fuse layer consumes the 3-way concat.
+    include_xyz_branch: bool = False
 
     @nn.compact
     def __call__(
@@ -81,7 +85,17 @@ class LocalMerge(nn.Module):
             use_tanh=self.use_tanh,
             name="feature_trans2",
         )(feature, center_feat, idx_feat, train=train)
+        branches = [m1, m2]
+        if self.include_xyz_branch:
+            xyz_f = LocalTrans(
+                self.out_channels,
+                self.num_neighbors,
+                residual_proj=True,
+                use_tanh=self.use_tanh,
+                name="xyz_trans",
+            )(base_xyz, xyz, idx, xyz_mode=True, train=train)
+            branches = [xyz_f, m1, m2]
         out = LinearUnit(self.out_channels, norm="batch", name="fc2")(
-            jnp.concatenate([m1, m2], axis=-1), train=train
+            jnp.concatenate(branches, axis=-1), train=train
         )
         return out, idx, dist

@@ -55,7 +55,10 @@ def create_train_state(
     example_input: jnp.ndarray,
     tx: optax.GradientTransformation,
 ) -> TrainState:
-    variables = model.init({"params": rng}, example_input, train=False)
+    # Jit the init: flax otherwise runs the whole forward eagerly, dispatching
+    # thousands of individual ops — minutes of latency on a tunneled TPU.
+    init_fn = jax.jit(lambda r, x: model.init({"params": r}, x, train=False))
+    variables = init_fn(rng, example_input)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -1,0 +1,81 @@
+"""Dataclass config tree with CLI overrides.
+
+Replaces the reference's per-tool argparse forests + shell-script config store
+(tool/train_cls_scanobjectnn.py:31-76, scripts/scanobjectnn/*.sh) with one
+typed config; no hardcoded data paths or device pins.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class TrainConfig:
+    # task/model
+    task: str = "cls"  # 'cls' | 'partseg' | 'semseg' | 'pose' | 'completion'
+    model: str = "markov_cls"
+    num_classes: int = 15
+    num_points: int = 1024
+
+    # data
+    dataset: str = "synthetic"  # 'scanobjectnn' | 'modelnet40' | 'shapenetpart' | 's3dis' | 'synthetic'
+    data_root: Optional[str] = None
+    batch_size: int = 64
+
+    # optimization (reference cls defaults: Adam 1e-3 / wd 1e-4 / StepLR 20x0.7)
+    optimizer: str = "adam-l2"  # 'adam-l2' | 'sgd'
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    momentum: float = 0.9
+    scheduler: str = "step"  # 'step' | 'cos'
+    decay_step: int = 20
+    decay_gamma: float = 0.7
+    eta_min: float = 1e-3
+    epochs: int = 300
+    label_smoothing: float = 0.1
+
+    # augmentation (reference part-seg uses scale+shift; cls flags default off)
+    aug_scale: bool = False
+    aug_shift: bool = False
+
+    # eval
+    num_votes: int = 3
+    min_val_epoch: int = 0
+
+    # system
+    seed: int = 2800  # reference cls seed
+    log_dir: str = "runs"
+    mesh_axes: Tuple[str, ...] = ("data",)
+    steps_per_epoch: Optional[int] = None  # derived when None
+
+    def with_overrides(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def add_config_flags(parser, config: TrainConfig) -> None:
+    """Register every config field as a --flag on an argparse parser."""
+    for f in dataclasses.fields(config):
+        default = getattr(config, f.name)
+        if f.type == "bool" or isinstance(default, bool):
+            parser.add_argument(
+                f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=default,
+            )
+        elif isinstance(default, tuple):
+            continue  # structured fields are code-level only
+        else:
+            typ = type(default) if default is not None else str
+            parser.add_argument(f"--{f.name}", type=typ, default=default)
+
+
+def config_from_args(args, base: Optional[TrainConfig] = None) -> TrainConfig:
+    base = base or TrainConfig()
+    kw = {
+        f.name: getattr(args, f.name)
+        for f in dataclasses.fields(base)
+        if hasattr(args, f.name)
+    }
+    return base.with_overrides(**kw)
