@@ -5,6 +5,9 @@ from mpa_tpu.models.registry import register_model, get_model, list_models
 from mpa_tpu.models.markov_cls import MarkovClassifier
 from mpa_tpu.models.repsurf_ssg_2x import RepSurfSSG2x
 from mpa_tpu.models.markov_partseg import MarkovPartSeg
+from mpa_tpu.models.markov_semseg import MarkovSemSeg
+from mpa_tpu.models.markov_pose import MarkovPose, rotation_6d_to_matrix, rotation_geodesic_loss
+from mpa_tpu.models.markov_completion import MarkovCompletion
 
 __all__ = [
     "register_model",
@@ -13,4 +16,9 @@ __all__ = [
     "MarkovClassifier",
     "RepSurfSSG2x",
     "MarkovPartSeg",
+    "MarkovSemSeg",
+    "MarkovPose",
+    "MarkovCompletion",
+    "rotation_6d_to_matrix",
+    "rotation_geodesic_loss",
 ]

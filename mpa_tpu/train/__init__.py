@@ -1,7 +1,12 @@
 """Training layer: losses, schedules, metrics, jitted train/eval steps,
 vote-TTA, and orbax checkpointing."""
 
-from mpa_tpu.train.losses import smooth_cls_loss, cls_loss, smooth_seg_loss
+from mpa_tpu.train.losses import (
+    smooth_cls_loss,
+    cls_loss,
+    smooth_seg_loss,
+    chamfer_distance,
+)
 from mpa_tpu.train.schedules import step_decay_schedule, cosine_schedule
 from mpa_tpu.train.metrics import (
     instance_accuracy,
@@ -21,6 +26,7 @@ __all__ = [
     "smooth_cls_loss",
     "cls_loss",
     "smooth_seg_loss",
+    "chamfer_distance",
     "step_decay_schedule",
     "cosine_schedule",
     "instance_accuracy",

@@ -35,6 +35,18 @@ def cls_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(picked)
 
 
+def chamfer_distance(
+    pred: jnp.ndarray, target: jnp.ndarray
+) -> jnp.ndarray:
+    """Symmetric squared Chamfer distance between clouds ``[B, N, 3]`` and
+    ``[B, M, 3]`` (completion-head training objective; the reference ships no
+    completion code — SURVEY.md §0). Pairwise distances ride the MXU."""
+    from mpa_tpu.ops.pairwise import square_distance
+
+    d = square_distance(pred, target)  # [B, N, M]
+    return jnp.mean(jnp.min(d, axis=-1)) + jnp.mean(jnp.min(d, axis=-2))
+
+
 def smooth_seg_loss(
     log_probs: jnp.ndarray, labels: jnp.ndarray, smoothing: float = 0.1
 ) -> jnp.ndarray:

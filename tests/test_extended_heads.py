@@ -1,0 +1,175 @@
+"""Extended task heads (semseg / pose / completion) + S3DIS pipeline tests.
+The reference ships no code for these tasks (SURVEY.md §0) — these validate
+the framework's own designs end to end: shapes, loss descent, protocols."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mpa_tpu import train as tr  # noqa: E402
+from mpa_tpu.models import (  # noqa: E402
+    MarkovSemSeg,
+    MarkovPose,
+    MarkovCompletion,
+    rotation_6d_to_matrix,
+    rotation_geodesic_loss,
+)
+from mpa_tpu.data import s3dis  # noqa: E402
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def synthetic_room(n=5000, seed=0):
+    r = rng(seed)
+    pts = np.zeros((n, 6), np.float32)
+    pts[:, 0] = r.uniform(0, 4, n)  # 4m x 3m room
+    pts[:, 1] = r.uniform(0, 3, n)
+    pts[:, 2] = r.uniform(0, 2.5, n)
+    pts[:, 3:6] = r.uniform(0, 255, (n, 3))
+    labels = (pts[:, 2] > 1.25).astype(np.int64)  # floor-ish vs ceiling-ish
+    return pts, labels
+
+
+def tiny_semseg(num_classes=4):
+    return MarkovSemSeg(
+        num_classes=num_classes,
+        npoints=(32, 16, 8),
+        channels=(16, 16, 16, 32),
+        residuals=(True, False, False, True),
+        num_neighbors=4,
+    )
+
+
+class TestSemSeg:
+    def test_forward_and_training(self):
+        model = tiny_semseg()
+        r = rng(1)
+        B, N = 4, 64
+        pts = r.normal(size=(B, N, 9)).astype(np.float32)
+        labels = (pts[:, :, 2] > 0).astype(np.int64) + 1
+        x = jnp.asarray(pts)
+
+        tx = tr.make_optimizer("sgd", 0.05, momentum=0.9)
+        state = tr.create_train_state(model, jax.random.key(0), x, tx)
+        out = tr.make_eval_step()(state, x)
+        assert out.shape == (B, N, 4)
+
+        step = jax.jit(tr.make_train_step(tr.smooth_seg_loss))
+        losses = []
+        for _ in range(6):
+            state, loss = step(state, x, jnp.asarray(labels), jax.random.key(1))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+
+class TestS3disPipeline:
+    def test_block_sampling(self):
+        pts, labels = synthetic_room()
+        bx, by = s3dis.sample_blocks(pts, labels, num_blocks=4, num_points=128)
+        assert bx.shape == (4, 128, 9) and by.shape == (4, 128)
+        # rgb normalized, room-normalized coords in [0, 1]
+        assert bx[..., 3:6].max() <= 1.0 + 1e-6
+        assert bx[..., 6:9].min() >= -1e-6 and bx[..., 6:9].max() <= 1.0 + 1e-6
+        # block-centred xy within half block size
+        assert np.abs(bx[..., 0]).max() <= 0.5 + 1e-6
+
+    def test_scene_inference_covers_room_and_is_learnable(self):
+        pts, labels = synthetic_room(3000, seed=2)
+
+        # Oracle "model": classify by height channel (z) — inference plumbing
+        # must then reach 100% against the same rule.
+        def forward(x):
+            z = x[:, :, 2]
+            logp = np.zeros((x.shape[0], x.shape[1], 2), np.float32)
+            logp[..., 1] = (z > 1.25) * 10.0
+            return logp
+
+        pred = s3dis.scene_inference(
+            forward, pts, num_points=128, block_size=1.0, stride=0.5,
+            batch_size=4, num_classes=2,
+        )
+        assert pred.shape == (3000,)
+        miou, acc, ious = s3dis.semseg_iou(pred, labels, 2)
+        assert acc > 0.999, acc
+        assert miou > 0.999, miou
+
+
+class TestPose:
+    def test_6d_produces_valid_rotations(self):
+        x6 = jnp.asarray(rng(3).normal(size=(8, 6)).astype(np.float32))
+        R = np.asarray(rotation_6d_to_matrix(x6))
+        eye = np.einsum("bij,bkj->bik", R, R)
+        np.testing.assert_allclose(eye, np.tile(np.eye(3), (8, 1, 1)), atol=1e-5)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+    def test_geodesic_loss_zero_at_identity(self):
+        R = np.asarray(rotation_6d_to_matrix(jnp.asarray(rng(4).normal(size=(4, 6)))))
+        loss = float(rotation_geodesic_loss(jnp.asarray(R), jnp.asarray(R)))
+        assert loss < 1e-2
+
+    def test_training_reduces_loss(self):
+        model = MarkovPose(
+            npoints=(16, 8), channels=(16, 16, 32),
+            residuals=(True, False, True), num_neighbors=4, encoder_features=64,
+        )
+        r = rng(5)
+        base = r.normal(size=(8, 32, 3)).astype(np.float32)
+        angles = r.uniform(0, np.pi, 8)
+        Rz = np.stack([
+            np.array([
+                [np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1]
+            ]) for a in angles
+        ]).astype(np.float32)
+        rotated = np.einsum("bij,bnj->bni", Rz, base)
+
+        tx = tr.make_optimizer("adam-l2", 1e-3)
+        state = tr.create_train_state(model, jax.random.key(0), jnp.asarray(rotated), tx)
+        step = jax.jit(tr.make_train_step(rotation_geodesic_loss))
+        losses = []
+        for _ in range(8):
+            state, loss = step(
+                state, jnp.asarray(rotated), jnp.asarray(Rz), jax.random.key(1)
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+
+class TestCompletion:
+    def test_shapes_and_chamfer_descends(self):
+        model = MarkovCompletion(
+            num_coarse=32, up_ratio=2,
+            npoints=(16, 8), channels=(16, 16, 32),
+            residuals=(True, False, True), num_neighbors=4, encoder_features=64,
+        )
+        r = rng(6)
+        partial = jnp.asarray(r.normal(size=(4, 64, 3)).astype(np.float32))
+        full = jnp.asarray(r.normal(size=(4, 64, 3)).astype(np.float32))
+
+        tx = tr.make_optimizer("adam-l2", 1e-3)
+        state = tr.create_train_state(model, jax.random.key(0), partial, tx)
+        coarse, fine = tr.make_eval_step()(state, partial)
+        assert coarse.shape == (4, 32, 3) and fine.shape == (4, 64, 3)
+
+        def loss_fn(out, target):
+            coarse, fine = out
+            return tr.chamfer_distance(coarse, target) + tr.chamfer_distance(
+                fine, target
+            )
+
+        step = jax.jit(tr.make_train_step(loss_fn))
+        losses = []
+        for _ in range(8):
+            state, loss = step(state, partial, full, jax.random.key(1))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+    def test_chamfer_zero_for_identical(self):
+        x = jnp.asarray(rng(7).normal(size=(2, 16, 3)).astype(np.float32))
+        assert float(tr.chamfer_distance(x, x)) < 1e-6
