@@ -27,6 +27,7 @@ def farthest_point_sample(
     *,
     key: Optional[jax.Array] = None,
     start_idx: int = 0,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Iterative farthest point sampling.
 
@@ -37,11 +38,23 @@ def farthest_point_sample(
       key: optional PRNG key; when given, the start index is uniform random
         per batch element (reference behaviour, modules/pointnet2_utils.py:96).
       start_idx: deterministic start index used when ``key`` is None.
+      use_pallas: force/forbid the Pallas kernel; None = auto (TPU + small C —
+        ~5x faster than the XLA while-loop at 2048->1024 on v5e).
 
     Returns:
       ``[B, npoint]`` int32 indices into N.
     """
     B, N, C = points.shape
+    if use_pallas is None:
+        # N < 256 (one-two lane tiles) trips a Mosaic argmax legalization bug,
+        # and the XLA loop is cheap at that size anyway.
+        use_pallas = jax.default_backend() == "tpu" and C <= 16 and N >= 256
+    if use_pallas:
+        from mpa_tpu.ops.pallas.fps_pallas import farthest_point_sample_pallas
+
+        return farthest_point_sample_pallas(
+            points, npoint, key=key, start_idx=start_idx
+        )
     pts = points.astype(jnp.float32)
 
     if key is not None:

@@ -1,0 +1,103 @@
+"""Pallas farthest-point-sampling kernel.
+
+Why a kernel: FPS is an npoint-step sequential chain whose per-step work is
+tiny ([B, N] distance update + argmax). As an XLA while-loop each step pays
+loop/sync overhead (measured ~13-40 ms for 2048->1024 on a v5e); inside one
+Pallas kernel the whole chain runs on-chip with vector-register state.
+
+Design notes (measured on v5e):
+- NO grid over batch: grid programs serialize on a core, so a [B]-row grid
+  multiplies the sequential chain by B. One program processes the whole batch
+  with [B, Npad] vector ops (B sublanes x Npad lanes).
+- The running "last selected" index stays a [B, 1] VECTOR; selected points are
+  extracted by one-hot masked reductions — no scalar unit round-trips, no
+  128-alignment constraints on dynamic lane gathers.
+- Channels unroll statically (layout [C, B, Npad]) so every step is 2D VPU
+  arithmetic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fps_kernel(first_ref, xyz_ref, out_ref, *, npoint: int, n_valid: int):
+    """first_ref: [B] scalar-prefetch start indices; xyz_ref: [C, B, Npad];
+    out_ref: [B, npoint_pad] selected indices (padded to lane width: sub-128
+    lane vectors trip Mosaic relayout legalization)."""
+    C, B, Npad = xyz_ref.shape
+    npoint_pad = out_ref.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, Npad), 1)
+    valid = lane < n_valid
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (B, npoint_pad), 1)
+    chans = [xyz_ref[c, :, :] for c in range(C)]  # C x [B, Npad]
+
+    first = jnp.stack([first_ref[b] for b in range(B)]).reshape(B, 1)
+
+    def body(i, carry):
+        min_d, last, sel = carry  # [B,Npad] f32, [B,1] i32, [B,npoint] i32
+        onehot = lane == last  # [B, Npad]
+        d = jnp.zeros((B, Npad), jnp.float32)
+        for xc in chans:
+            pc = jnp.sum(jnp.where(onehot, xc, 0.0), axis=1, keepdims=True)
+            diff = xc - pc
+            d = d + diff * diff
+        min_d = jnp.minimum(min_d, d)
+        masked = jnp.where(valid, min_d, -jnp.inf)
+        nxt = jnp.argmax(masked, axis=1).reshape(B, 1).astype(jnp.int32)
+        sel = jnp.where(out_lane == i, last, sel)
+        return min_d, nxt, sel
+
+    init = (
+        jnp.full((B, Npad), jnp.inf, dtype=jnp.float32),
+        first,
+        jnp.zeros((B, npoint_pad), dtype=jnp.int32),
+    )
+    _, _, sel = jax.lax.fori_loop(0, npoint, body, init)
+    out_ref[:, :] = sel
+
+
+def farthest_point_sample_pallas(
+    points: jnp.ndarray,
+    npoint: int,
+    *,
+    key: Optional[jax.Array] = None,
+    start_idx: int = 0,
+) -> jnp.ndarray:
+    """Drop-in for ops.farthest_point_sample on TPU. points ``[B, N, C]``
+    (designed for small C, e.g. xyz), returns ``[B, npoint]`` int32."""
+    B, N, C = points.shape
+    Npad = _round_up(N, 128)
+    pts_t = jnp.transpose(points.astype(jnp.float32), (2, 0, 1))  # [C, B, N]
+    if Npad != N:
+        pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, Npad - N)))
+
+    if key is not None:
+        first = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+    else:
+        first = jnp.full((B,), start_idx, dtype=jnp.int32)
+
+    npoint_pad = _round_up(npoint, 128)
+    kernel = functools.partial(_fps_kernel, npoint=npoint, n_valid=N)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((C, B, Npad), lambda i, first: (0, 0, 0))],
+        out_specs=pl.BlockSpec((B, npoint_pad), lambda i, first: (0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, npoint_pad), jnp.int32),
+    )(first, pts_t)
+    return out[:, :npoint]
