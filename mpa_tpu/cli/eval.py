@@ -1,0 +1,135 @@
+"""Evaluation CLI — the TPU-native successor of tool/test_classification.py
+and tool/test_partseg.py.
+
+Classification reproduces the reference's published-eval protocol exactly:
+NUM_REPEAT x num_votes TTA (vote 0 clean, later votes per-cloud per-axis
+scaled 0.95-1.05), vote pool = mean log-probs, best instance/class accuracy
+over repeats (tool/test_classification.py:114-162). Part-seg reproduces
+tool/test_partseg.py:70-221: vote TTA + category-masked argmax + the
+per-category/instance mIoU table. The reference's argmax-offset quirk at
+tool/test_partseg.py:158 (global-label comparison without re-offsetting) is
+NOT replicated — it is a bug the category-masked argmax makes moot; flagged
+per SURVEY.md §3.4.
+
+Usage:
+  python -m mpa_tpu.cli.eval --task cls --dataset synthetic --num_repeat 3
+  python -m mpa_tpu.cli.eval --task cls --dataset scanobjectnn --data_root ... \
+      --checkpoint runs/cls_scanobjectnn/checkpoints --num_repeat 50 --num_votes 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import jax
+import numpy as np
+
+from mpa_tpu.utils.config import TrainConfig, add_config_flags, config_from_args
+from mpa_tpu.utils.logging import make_logger
+from mpa_tpu import train as tr
+from mpa_tpu.models import get_model
+from mpa_tpu.data.shapenetpart import to_categorical, SEG_PARTS, NUM_PARTS, NUM_CATEGORIES
+from mpa_tpu.train.checkpoint import BestCheckpointer
+from mpa_tpu.train.votes import vote_predict
+from mpa_tpu.cli.train import load_dataset, batches
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser, TrainConfig())
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--num_repeat", type=int, default=1,
+                        help="reference NUM_REPEAT (50 for the published number)")
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cfg = config_from_args(args)
+    if cfg.task == "partseg" and cfg.model == "markov_cls":
+        cfg = cfg.with_overrides(model="markov_partseg")
+
+    log = make_logger(os.path.join(cfg.log_dir, f"eval_{cfg.task}_{cfg.dataset}"), "eval")
+    _, test_arrays = load_dataset(cfg)
+
+    if cfg.task == "partseg":
+        model = get_model(cfg.model, num_parts=NUM_PARTS, num_categories=NUM_CATEGORIES)
+        example = (
+            jax.numpy.asarray(test_arrays[0][:2]),
+            jax.numpy.asarray(to_categorical(test_arrays[1][:2])),
+        )
+    else:
+        model = get_model(cfg.model, num_classes=cfg.num_classes)
+        example = jax.numpy.asarray(test_arrays[0][:2])
+
+    tx = tr.make_optimizer("sgd", 0.0)
+    state = tr.create_train_state(model, jax.random.key(0), example, tx)
+    if args.checkpoint:
+        restored = BestCheckpointer(args.checkpoint).restore(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.checkpoint}")
+        state, best = restored
+        log.info(f"loaded checkpoint (train-best metric {best:.4f})")
+    else:
+        log.info("no --checkpoint given: evaluating a fresh init (protocol smoke)")
+
+    eval_step = jax.jit(tr.make_eval_step())
+
+    if cfg.task == "partseg":
+        preds, tgts, cats_all = [], [], []
+        vote_key = jax.random.key(7)
+        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+            pts, cats, segs = batch
+            onehot = jax.numpy.asarray(to_categorical(cats))
+            pool, _ = vote_predict(
+                lambda x: eval_step(state, (x, onehot)),
+                jax.numpy.asarray(pts), vote_key, cfg.num_votes,
+            )
+            pred = tr.metrics.category_masked_argmax(np.asarray(pool), cats, SEG_PARTS)
+            preds += list(pred)
+            tgts += list(segs)
+            cats_all += list(cats)
+        ins, cls_m, cat_map = tr.part_iou_metrics(preds, tgts, cats_all, SEG_PARTS)
+        acc = tr.metrics.point_accuracy(preds, tgts)
+        from mpa_tpu.data.shapenetpart import CATEGORIES
+
+        for c, iou in sorted(cat_map.items()):
+            log.info(f"  {CATEGORIES[c]:<14s} mIoU {iou:.4f}")
+        log.info(f"point acc {acc:.4f}  class mIoU {cls_m:.4f}  instance mIoU {ins:.4f}")
+        log.metrics(0, ins_miou=ins, class_miou=cls_m, point_acc=acc)
+        return
+
+    # Classification: best-of-num_repeat vote eval.
+    best_acc = best_cls = best_single = 0.0
+    for rep in range(args.num_repeat):
+        vote_key = jax.random.key(1000 + rep)
+        votes, singles, labels_all = [], [], []
+        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(rep)):
+            pts, labels = batch
+            pool, single = vote_predict(
+                lambda x: eval_step(state, x),
+                jax.numpy.asarray(pts), vote_key, cfg.num_votes,
+            )
+            votes.append(np.asarray(pool))
+            singles.append(np.asarray(single))
+            labels_all.append(labels)
+        pred = np.concatenate(votes).argmax(-1)
+        labels_np = np.concatenate(labels_all)
+        acc = tr.instance_accuracy(pred, labels_np)
+        cls_acc = tr.class_average_accuracy(pred, labels_np, cfg.num_classes)
+        single_acc = tr.instance_accuracy(np.concatenate(singles).argmax(-1), labels_np)
+        if acc > best_acc:
+            best_acc, best_cls, best_single = acc, cls_acc, single_acc
+        log.info(f"repeat {rep}: vote-acc {acc:.4f} (best {best_acc:.4f})")
+    log.info(
+        f"BEST of {args.num_repeat}: vote-acc {best_acc:.4f} "
+        f"single-acc {best_single:.4f} class-acc {best_cls:.4f}"
+    )
+    log.metrics(0, best_vote_acc=best_acc, best_class_acc=best_cls)
+
+
+if __name__ == "__main__":
+    main()

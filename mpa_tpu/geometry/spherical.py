@@ -30,6 +30,35 @@ def xyz2sphere(xyz: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     return jnp.concatenate([rho, theta, phi], axis=-1)
 
 
+def convert_polar(neighbours: jnp.ndarray, center: jnp.ndarray):
+    """Per-axis polar angle pairs of neighbour offsets.
+
+    Reference semantics: ``convert_polar`` (modules/pointnet2_utils.py:263-287,
+    dead in live paths): for each axis, (alpha, beta) = azimuth in the
+    orthogonal plane and elevation against it. NOTE the reference computes
+    ``r_yz`` as sqrt(y^2 + y^2) — an obvious typo; implemented correctly here
+    as sqrt(y^2 + z^2) and documented as a deliberate deviation.
+
+    Args:
+      neighbours/center: ``[B, N, K, 3]`` (centre broadcast over K).
+
+    Returns:
+      (x_alpha, x_beta, y_alpha, y_beta, z_alpha, z_beta), each ``[B, N, K]``.
+    """
+    rel = neighbours - center
+    rel_x, rel_y, rel_z = rel[..., 0], rel[..., 1], rel[..., 2]
+    r_xy = jnp.sqrt(rel_x**2 + rel_y**2)
+    r_zx = jnp.sqrt(rel_z**2 + rel_x**2)
+    r_yz = jnp.sqrt(rel_y**2 + rel_z**2)
+    z_beta = jnp.arctan2(rel_z, r_xy)
+    z_alpha = jnp.arctan2(rel_y, rel_x)
+    y_beta = jnp.arctan2(rel_y, r_zx)
+    y_alpha = jnp.arctan2(rel_x, rel_z)
+    x_beta = jnp.arctan2(rel_x, r_yz)
+    x_alpha = jnp.arctan2(rel_z, rel_y)
+    return x_alpha, x_beta, y_alpha, y_beta, z_alpha, z_beta
+
+
 def xyz2cylind(xyz: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     """``[..., 3]`` cartesian → ``[..., 3]`` (rho, phi, z), rho clamped to [0,1],
     z to [-1,1] (reference modules/polar_utils.py:34-54; dead in the reference's

@@ -88,6 +88,55 @@ def cal_area(group_xyz: jnp.ndarray) -> jnp.ndarray:
     return area[..., None]
 
 
+def check_nan(
+    normal: jnp.ndarray,
+    center: jnp.ndarray,
+    pos: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, ...]:
+    """Non-umbrella NaN repair (reference ``check_nan``,
+    modules/recons_utils.py:127-149): per BATCH row, points whose normal has
+    any NaN are replaced by the first non-NaN point's values."""
+    bad = jnp.any(jnp.isnan(normal), axis=-1)  # [B, N]
+    first_ok = jnp.argmax((~bad).astype(jnp.int32), axis=-1)  # [B]
+
+    def take_first(x):
+        picked = jnp.take_along_axis(x, first_ok[:, None, None], axis=1)
+        return jnp.where(bad[..., None], picked, x)
+
+    if pos is not None:
+        return take_first(normal), take_first(center), take_first(pos)
+    return take_first(normal), take_first(center)
+
+
+def knn_surface_features(
+    center: jnp.ndarray,
+    context: jnp.ndarray,
+    k: int = 3,
+    *,
+    return_dist: bool = False,
+    random_inv_key: Optional[jax.Array] = None,
+):
+    """Plain-kNN triangle surface constructor (reference ``SurfaceConstructor``
+    + ``knn_recons``, modules/recons_utils.py:179-228; only exercised by the
+    reference's __main__ smoke test): the k=3 nearest context points around
+    each centre form a triangle whose unit normal / centroid / plane offset
+    become the surface features.
+
+    Returns (normal ``[B,N,3]``, centroid ``[B,N,3]``[, pos ``[B,N,1]``]).
+    """
+    from mpa_tpu.ops.knn import knn
+    from mpa_tpu.ops.gather import index_points
+
+    _, idx = knn(k, context, center)
+    group_xyz = index_points(context, idx)  # [B, N, K, 3]
+    normal = cal_normal(group_xyz, random_inv_key=random_inv_key)
+    centroid = cal_center(group_xyz)
+    if return_dist:
+        pos = cal_const(normal, centroid)
+        return check_nan(normal, centroid, pos)
+    return check_nan(normal, centroid)
+
+
 def check_nan_umbrella(
     normal: jnp.ndarray,
     center: jnp.ndarray,

@@ -8,6 +8,8 @@ from mpa_tpu.models.markov_partseg import MarkovPartSeg
 from mpa_tpu.models.markov_semseg import MarkovSemSeg
 from mpa_tpu.models.markov_pose import MarkovPose, rotation_6d_to_matrix, rotation_geodesic_loss
 from mpa_tpu.models.markov_completion import MarkovCompletion
+from mpa_tpu.models.markov_partseg_fp import MarkovPartSegFP
+import mpa_tpu.extras  # registers optional extra models (dgcnn, ...)
 
 __all__ = [
     "register_model",
@@ -16,6 +18,7 @@ __all__ = [
     "MarkovClassifier",
     "RepSurfSSG2x",
     "MarkovPartSeg",
+    "MarkovPartSegFP",
     "MarkovSemSeg",
     "MarkovPose",
     "MarkovCompletion",

@@ -39,6 +39,10 @@ class LocalMerge(nn.Module):
     # a geometric LocalTrans branch runs alongside the two feature branches and
     # the fuse layer consumes the 3-way concat.
     include_xyz_branch: bool = False
+    # Part-variant simple form (models/repsurf/repsurface_utils_part.py:
+    # 4205-4246): ONE feature LocalTrans over the spatial kNN, no feature-space
+    # branch, no fuse layer.
+    single_branch: bool = False
 
     @nn.compact
     def __call__(
@@ -68,6 +72,15 @@ class LocalMerge(nn.Module):
         center_feat = (
             index_points(feature, fps_idx) if fps_idx is not None else feature
         )
+        if self.single_branch:
+            out = LocalTrans(
+                self.out_channels,
+                self.num_neighbors,
+                residual_proj=self.residual,
+                use_tanh=self.use_tanh,
+                name="feature_trans",
+            )(feature, center_feat, idx, train=train)
+            return out, idx, dist
         # Feature-space kNN: neighbours of the coarse features among the fine.
         _, idx_feat = knn(self.num_neighbors, feature, center_feat)
 

@@ -12,8 +12,8 @@ layout and is used consistently across this framework).
 """
 
 from mpa_tpu.ops.pairwise import square_distance
-from mpa_tpu.ops.gather import index_points, resort_points
-from mpa_tpu.ops.knn import knn, knn_self
+from mpa_tpu.ops.gather import index_points, resort_points, mod_index
+from mpa_tpu.ops.knn import knn, knn_self, knn_point2
 from mpa_tpu.ops.fps import farthest_point_sample
 from mpa_tpu.ops.ball_query import ball_query
 from mpa_tpu.ops.scatter import scatter_mean_upsample
@@ -26,6 +26,8 @@ __all__ = [
     "resort_points",
     "knn",
     "knn_self",
+    "knn_point2",
+    "mod_index",
     "farthest_point_sample",
     "ball_query",
     "scatter_mean_upsample",

@@ -8,6 +8,7 @@ gathers that can melt into consumer ops instead of materializing index loops.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -27,6 +28,20 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     flat_idx = idx.reshape(B, -1)  # [B, S*K*...]
     gathered = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
     return gathered.reshape((B,) + group_shape + (C,))
+
+
+def mod_index(
+    base: jnp.ndarray, mod_idx: jnp.ndarray, values: jnp.ndarray
+) -> jnp.ndarray:
+    """Masked scatter-replace: rows of ``base [B, N, D]`` at per-batch indices
+    ``mod_idx [B, M]`` are replaced by ``values [B, M, D]`` (reference
+    ``mod_index``, modules/pointnet2_utils.py:53-61; dead in live paths).
+    Implemented as a batched functional scatter — no in-place mutation."""
+
+    def one(b, idx, val):
+        return b.at[idx].set(val)
+
+    return jax.vmap(one)(base, mod_idx, values)
 
 
 def resort_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

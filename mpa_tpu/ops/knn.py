@@ -91,3 +91,23 @@ def knn_self(
     """kNN of a point set against itself (self match at distance 0 included,
     matching the reference's umbrella grouping which keeps then drops slot 0)."""
     return knn(k, points, points, method=method)
+
+
+def knn_point2(
+    k: int, points: jnp.ndarray, key: jax.Array
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Self-kNN that randomizes away coincident-duplicate matches.
+
+    Reference semantics (``knn_point2``, modules/pointnet2_utils.py:224-251,
+    dead in live paths): zero-distance entries are replaced by ``10 + noise``
+    so coincident duplicates stop tying, EXCEPT the true self match on the
+    diagonal which is re-zeroed and stays the first neighbour.
+    """
+    d = square_distance(points, points)  # [B, N, N]
+    N = d.shape[-1]
+    noise = jax.random.normal(key, d.shape)
+    d = jnp.where(d == 0.0, 10.0 + noise, d)
+    off_diag = ~jnp.eye(N, dtype=bool)[None]
+    d = jnp.where(off_diag, d, 0.0)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return -neg_d, idx

@@ -43,3 +43,14 @@ def random_sample(
 ) -> jnp.ndarray:
     """Alias of the stochastic mode of :func:`subsample_points`."""
     return subsample_points(points, num_point, key=key)
+
+
+def shared_random_sample(key: jax.Array, points: jnp.ndarray, num_point: int):
+    """Reference ``random_sample`` semantics (modules/pointnet2_utils.py:253-261,
+    dead in live paths): ONE permutation shared across the batch; returns
+    (sampled ``[B, n, C]``, idx ``[B, n]``)."""
+    N = points.shape[1]
+    perm = jax.random.permutation(key, N)[:num_point]
+    sampled = points[:, perm, :]
+    idx = jnp.broadcast_to(perm[None, :], (points.shape[0], num_point))
+    return sampled, idx
