@@ -59,7 +59,9 @@ def load_modelnet(
     for i, shape_id in enumerate(ids):
         name = "_".join(shape_id.split("_")[:-1])
         path = os.path.join(root, name, shape_id + ".txt")
-        cloud = np.loadtxt(path, delimiter=",").astype(np.float32)
+        from mpa_tpu.data.native_io import loadtxt
+
+        cloud = loadtxt(path, 6)  # comma xyz + normal
         if use_fps:
             cloud = cloud[_fps_numpy(cloud, num_point)]
         else:

@@ -1,0 +1,111 @@
+"""ctypes bindings for the native point-cloud text parser (native/pointio.cpp).
+
+Compiled on first use with g++ -O3 into native/build/ and cached; every entry
+point falls back to numpy when the toolchain or .so is unavailable, so the
+framework never hard-depends on the native path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "pointio.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "libpointio.so")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO):
+            if not os.path.exists(_SRC):
+                return None
+            os.makedirs(_BUILD_DIR, exist_ok=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lpthread"],
+                    check=True,
+                    capture_output=True,
+                )
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.pointio_parse_file.restype = ctypes.c_long
+        lib.pointio_parse_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.c_int,
+        ]
+        lib.pointio_parse_many.restype = None
+        lib.pointio_parse_many.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def loadtxt(path: str, n_cols: int, max_rows: int = 1 << 18) -> np.ndarray:
+    """Drop-in for np.loadtxt on numeric point files (whitespace/comma)."""
+    lib = _load()
+    if lib is None:
+        return np.loadtxt(path, delimiter=None if " " in open(path).readline() else ",").astype(np.float32)
+    out = np.empty((max_rows, n_cols), np.float32)
+    rows = lib.pointio_parse_file(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_rows, n_cols,
+    )
+    if rows < 0:
+        raise FileNotFoundError(path)
+    return out[:rows].copy()
+
+
+def loadtxt_many(
+    paths: List[str], n_cols: int, max_rows: int = 1 << 15, n_threads: int = 16
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Threaded whole-split load: returns (data ``[F, max_rows, n_cols]``,
+    row_counts ``[F]``). Falls back to a sequential numpy loop."""
+    lib = _load()
+    n = len(paths)
+    if lib is None:
+        data = np.zeros((n, max_rows, n_cols), np.float32)
+        counts = np.zeros((n,), np.int64)
+        for i, p in enumerate(paths):
+            arr = np.loadtxt(p).astype(np.float32)[:max_rows]
+            data[i, : len(arr)] = arr[:, :n_cols]
+            counts[i] = len(arr)
+        return data, counts
+    data = np.empty((n, max_rows, n_cols), np.float32)
+    counts = np.empty((n,), np.int64)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.pointio_parse_many(
+        c_paths, n,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        max_rows, n_cols, n_threads,
+    )
+    return data, counts

@@ -122,7 +122,9 @@ class ShapeNetPartDataset:
         if i in self._cache:
             data, seg = self._cache[i]
         else:
-            raw = np.loadtxt(self.items[i][0]).astype(np.float32)
+            from mpa_tpu.data.native_io import loadtxt
+
+            raw = loadtxt(self.items[i][0], 7)  # x y z nx ny nz seg
             data = raw[:, :6] if self.use_normals else raw[:, :3]
             data[:, :3] = pc_normalize(data[:, :3])
             seg = raw[:, -1].astype(np.int64)
