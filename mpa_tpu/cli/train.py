@@ -83,13 +83,35 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     add_config_flags(parser, TrainConfig())
     parser.add_argument("--max_steps", type=int, default=0, help="early stop for smoke runs")
+    parser.add_argument("--preset", type=str, default=None,
+                        help="named config preset (mpa_tpu.configs); explicit "
+                             "flags still override")
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu); this image pins "
                              "JAX_PLATFORMS=axon so the env route is dead")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    cfg = config_from_args(args)
+    if args.preset:
+        from mpa_tpu.configs import get_preset
+
+        base = get_preset(args.preset)
+        # Apply only flags the user actually passed on top of the preset.
+        passed = {
+            a.split("=")[0].lstrip("-")
+            for a in (argv if argv is not None else sys.argv[1:])
+            if a.startswith("--")
+        }
+        import dataclasses
+
+        overrides = {
+            f.name: getattr(args, f.name)
+            for f in dataclasses.fields(base)
+            if f.name in passed and hasattr(args, f.name)
+        }
+        cfg = base.with_overrides(**overrides)
+    else:
+        cfg = config_from_args(args)
 
     if cfg.task == "partseg" and cfg.model == "markov_cls":
         cfg = cfg.with_overrides(
