@@ -13,7 +13,7 @@ optionally concatenated as true encoder input when ``feed_umbrella`` is set
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -34,6 +34,7 @@ class MarkovClassifier(nn.Module):
     dropout: float = 0.5
     use_umbrella: bool = False
     umbrella_k: int = 9
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 for mixed precision
     umbrella_aggr: str = "sum"
 
     @nn.compact
@@ -57,6 +58,7 @@ class MarkovClassifier(nn.Module):
             residuals=tuple(self.residuals),
             num_neighbors=self.num_neighbors,
             out_features=self.encoder_features,
+            dtype=self.compute_dtype,
             name="keep_high",
         )(xyz, train=train, rng=rng)
 

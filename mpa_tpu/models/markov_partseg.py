@@ -11,7 +11,7 @@ log-probs).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -30,6 +30,7 @@ class MarkovPartSeg(nn.Module):
     residuals: Sequence[bool] = (True, False, False, True, True)
     num_neighbors: int = 8
     dropout: float = 0.5
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 for mixed precision
 
     @nn.compact
     def __call__(
@@ -49,14 +50,15 @@ class MarkovPartSeg(nn.Module):
             residuals=tuple(self.residuals),
             num_neighbors=self.num_neighbors,
             num_categories=self.num_categories,
+            dtype=self.compute_dtype,
             name="keep_high",
         )(xyz, label_onehot, train=train, rng=rng)
 
-        x = LinearUnit(512, norm="batch", name="conv8")(final, train=train)
+        x = LinearUnit(512, norm="batch", dtype=self.compute_dtype, name="conv8")(final, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = LinearUnit(256, norm="batch", name="conv9")(x, train=train)
-        x = LinearUnit(128, norm="batch", name="conv10")(x, train=train)
-        x = nn.Dense(self.num_parts, name="conv11")(x)
+        x = LinearUnit(256, norm="batch", dtype=self.compute_dtype, name="conv9")(x, train=train)
+        x = LinearUnit(128, norm="batch", dtype=self.compute_dtype, name="conv10")(x, train=train)
+        x = nn.Dense(self.num_parts, name="conv11")(x.astype(jnp.float32))
         return jax.nn.log_softmax(x, axis=-1)
 
 

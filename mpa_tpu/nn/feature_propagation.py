@@ -11,7 +11,7 @@ pass ``skip=None`` for that behaviour.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -23,6 +23,7 @@ from mpa_tpu.nn.linear import LinearUnit
 class PointNetFeaturePropagation(nn.Module):
     out_channels: int
     act: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -46,6 +47,6 @@ class PointNetFeaturePropagation(nn.Module):
             interp = three_nn_interpolate(xyz_fine, xyz_coarse, feat_coarse)
         if skip is not None:
             interp = jnp.concatenate([skip, interp], axis=-1)
-        return LinearUnit(self.out_channels, norm="batch", act=self.act, name="conv")(
+        return LinearUnit(self.out_channels, norm="batch", act=self.act, dtype=self.dtype, name="conv")(
             interp, train=train
         )

@@ -20,7 +20,7 @@ scatter is the segment-sum upsample (no dense [B,S,N,C] scratch).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -49,6 +49,7 @@ class Fuse(nn.Module):
 
     channels: Sequence[int]  # (c0..c4)
     num_neighbors: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -78,10 +79,10 @@ class Fuse(nn.Module):
                     _, up_idx = knn(self.num_neighbors, xyz[t], xyz[s])
                 moved = scatter_mean_upsample(features[s], up_idx, num_fine)
             total = total + LinearUnit(
-                self.channels[t], norm="batch", name=f"conv{s}{t}"
+                self.channels[t], norm="batch", dtype=self.dtype, name=f"conv{s}{t}"
             )(moved, train=train)
         out = (
-            LinearUnit(self.channels[t], norm="batch", name=f"conv{t}")(
+            LinearUnit(self.channels[t], norm="batch", dtype=self.dtype, name=f"conv{t}")(
                 total, train=train
             )
             + ft

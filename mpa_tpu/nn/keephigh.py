@@ -14,7 +14,7 @@ same module serves 1024-pt cls, scaled variants, and ablations.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -33,6 +33,7 @@ class KeepHighResolutionEncoder(nn.Module):
     num_neighbors: int = 8
     out_features: int = 1024
     fps_random_start: bool = False  # keyed FPS starts (reference torch.randint)
+    dtype: Any = None  # bf16 mixed-precision compute when set
 
     @nn.compact
     def __call__(
@@ -44,6 +45,7 @@ class KeepHighResolutionEncoder(nn.Module):
             self.channels[0],
             self.num_neighbors,
             residual=self.residuals[0],
+            dtype=self.dtype,
             name="la0",
         )(xyz, xyz, train=train)
 
@@ -62,12 +64,13 @@ class KeepHighResolutionEncoder(nn.Module):
                 self.channels[i + 1],
                 self.num_neighbors,
                 residual=self.residuals[i + 1],
+                dtype=self.dtype,
                 name=f"la{i + 1}",
             )(new_xyz, cur_xyz, feature=feats, fps_idx=fps_idx, train=train)
             cur_xyz = new_xyz
 
-        x = LinearUnit(self.channels[-1], norm="batch", name="conv3")(feats, train=train)
-        x = LinearUnit(self.out_features, norm="batch", name="conv4")(x, train=train)
+        x = LinearUnit(self.channels[-1], norm="batch", dtype=self.dtype, name="conv3")(feats, train=train)
+        x = LinearUnit(self.out_features, norm="batch", dtype=self.dtype, name="conv4")(x, train=train)
 
         gmax = jnp.max(x, axis=1)
         gavg = jnp.mean(x, axis=1)

@@ -24,7 +24,7 @@ The reference's ``start``/``conv6``/``conv8``/``normal`` inputs are dead
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -44,6 +44,7 @@ class KeepHighResolutionPartSeg(nn.Module):
     num_categories: int = 16
     label_channels: int = 64
     point_channels: int = 256  # conv5 width on the finest decoder features
+    dtype: Any = None  # bf16 mixed-precision compute when set
 
     @nn.compact
     def __call__(
@@ -73,7 +74,7 @@ class KeepHighResolutionPartSeg(nn.Module):
 
         f, idx0, d0 = LocalMerge(
             ch[0], self.num_neighbors, residual=self.residuals[0],
-            include_xyz_branch=True, name="la0",
+            include_xyz_branch=True, dtype=self.dtype, name="la0",
         )(xyz, xyz, train=train)
         feats[0] = f
         knn_list[0], dist_list[0] = idx0, d0  # self-kNN of the full cloud
@@ -86,7 +87,7 @@ class KeepHighResolutionPartSeg(nn.Module):
             new_xyz = index_points(cur_xyz, fps_idx)
             f, idx_i, d_i = LocalMerge(
                 ch[i + 1], self.num_neighbors, residual=self.residuals[i + 1],
-                include_xyz_branch=True, name=f"la{i + 1}",
+                include_xyz_branch=True, dtype=self.dtype, name=f"la{i + 1}",
             )(new_xyz, cur_xyz, feature=feats[i], fps_idx=fps_idx, train=train)
             feats[i + 1] = f
             positions[i + 1] = new_xyz
@@ -96,8 +97,8 @@ class KeepHighResolutionPartSeg(nn.Module):
 
         # ---- decoder: up-states interleaved with cross-scale Fuse ----------
         fuse_ch = tuple(ch)
-        f4u = LinearUnit(ch[4], norm="batch", name="mlp")(feats[4], train=train)
-        f4u = Fuse(fuse_ch, self.num_neighbors, name="fuse1")(
+        f4u = LinearUnit(ch[4], norm="batch", dtype=self.dtype, name="mlp")(feats[4], train=train)
+        f4u = Fuse(fuse_ch, self.num_neighbors, dtype=self.dtype, name="fuse1")(
             4, [feats[0], feats[1], feats[2], feats[3], f4u],
             fps_list, knn_list, positions, train=train,
         )[4]
@@ -117,15 +118,15 @@ class KeepHighResolutionPartSeg(nn.Module):
             source = up_feats[s + 1]
             num_fine = positions[s].shape[1]
             up = scatter_mean_upsample(source, knn_list[s + 1], num_fine)
-            up = LinearUnit(ch[s], norm="batch", name=f"up_conv{s + 1}")(
+            up = LinearUnit(ch[s], norm="batch", dtype=self.dtype, name=f"up_conv{s + 1}")(
                 up, train=train
             )
             f_s, _, _ = LocalMerge(
                 ch[s], self.num_neighbors, residual=False,
-                include_xyz_branch=True, name=f"la{s + 1}_up",
+                include_xyz_branch=True, dtype=self.dtype, name=f"la{s + 1}_up",
             )(positions[s], positions[s], feature=up, train=train)
             up_feats[s] = f_s
-            up_feats[s] = Fuse(fuse_ch, self.num_neighbors, name=f"fuse{step + 2}")(
+            up_feats[s] = Fuse(fuse_ch, self.num_neighbors, dtype=self.dtype, name=f"fuse{step + 2}")(
                 s, fuse_src[s](), fps_list, knn_list, positions, train=train
             )[s]
 
@@ -136,11 +137,11 @@ class KeepHighResolutionPartSeg(nn.Module):
         global_rep = jnp.broadcast_to(
             global_rep[:, None, :], (B, N, global_rep.shape[-1])
         )
-        label = LinearUnit(self.label_channels, norm="batch", name="conv7")(
+        label = LinearUnit(self.label_channels, norm="batch", dtype=self.dtype, name="conv7")(
             label_onehot[:, None, :], train=train
         )
         label = jnp.broadcast_to(label, (B, N, self.label_channels))
-        points_up = LinearUnit(self.point_channels, norm="batch", name="conv5")(
+        points_up = LinearUnit(self.point_channels, norm="batch", dtype=self.dtype, name="conv5")(
             up_feats[0], train=train
         )
         final = jnp.concatenate([points_up, global_rep, label], axis=-1)

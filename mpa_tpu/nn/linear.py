@@ -9,7 +9,7 @@ the live configuration.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -27,10 +27,11 @@ class LinearUnit(nn.Module):
     features: int
     norm: Optional[str] = "batch"  # 'batch' | 'layer' | None
     act: bool = True
+    dtype: Any = None  # compute dtype (None = infer/fp32); norms stay fp32
 
     @nn.compact
     def __call__(self, x, *, train: bool = True):
-        x = nn.Dense(self.features, name="linear")(x)
+        x = nn.Dense(self.features, dtype=self.dtype, name="linear")(x)
         if self.norm == "layer":
             x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         elif self.norm == "batch":
@@ -41,4 +42,6 @@ class LinearUnit(nn.Module):
             raise ValueError(f"unknown norm: {self.norm}")
         if self.act:
             x = jax.nn.leaky_relu(x, negative_slope=0.2)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         return x

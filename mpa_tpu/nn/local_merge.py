@@ -19,7 +19,7 @@ is dropped from this API.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -43,6 +43,7 @@ class LocalMerge(nn.Module):
     # 4205-4246): ONE feature LocalTrans over the spatial kNN, no feature-space
     # branch, no fuse layer.
     single_branch: bool = False
+    dtype: Any = None  # compute dtype (kNN distance selection stays fp32)
 
     @nn.compact
     def __call__(
@@ -65,6 +66,7 @@ class LocalMerge(nn.Module):
                 self.num_neighbors,
                 residual_proj=True,
                 use_tanh=self.use_tanh,
+                dtype=self.dtype,
                 name="xyz_trans",
             )(base_xyz, xyz, idx, xyz_mode=True, train=train)
             return out, idx, dist
@@ -78,6 +80,7 @@ class LocalMerge(nn.Module):
                 self.num_neighbors,
                 residual_proj=self.residual,
                 use_tanh=self.use_tanh,
+                dtype=self.dtype,
                 name="feature_trans",
             )(feature, center_feat, idx, train=train)
             return out, idx, dist
@@ -89,6 +92,7 @@ class LocalMerge(nn.Module):
             self.num_neighbors,
             residual_proj=self.residual,
             use_tanh=self.use_tanh,
+            dtype=self.dtype,
             name="feature_trans",
         )(feature, center_feat, idx, train=train)
         m2 = LocalTrans(
@@ -96,6 +100,7 @@ class LocalMerge(nn.Module):
             self.num_neighbors,
             residual_proj=self.residual,
             use_tanh=self.use_tanh,
+            dtype=self.dtype,
             name="feature_trans2",
         )(feature, center_feat, idx_feat, train=train)
         branches = [m1, m2]
@@ -105,10 +110,11 @@ class LocalMerge(nn.Module):
                 self.num_neighbors,
                 residual_proj=True,
                 use_tanh=self.use_tanh,
+                dtype=self.dtype,
                 name="xyz_trans",
             )(base_xyz, xyz, idx, xyz_mode=True, train=train)
             branches = [xyz_f, m1, m2]
-        out = LinearUnit(self.out_channels, norm="batch", name="fc2")(
+        out = LinearUnit(self.out_channels, norm="batch", dtype=self.dtype, name="fc2")(
             jnp.concatenate(branches, axis=-1), train=train
         )
         return out, idx, dist

@@ -20,6 +20,8 @@ TPU design notes:
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -44,16 +46,17 @@ class LocalTrans(nn.Module):
     num_neighbors: int
     residual_proj: bool = False  # project the residual through conv_res
     use_tanh: bool = False
+    dtype: Any = None  # compute dtype (bf16 mixed precision when set)
 
     @nn.compact
     def __call__(self, source, center, idx, *, xyz_mode: bool = False, train: bool = True):
-        q = nn.Dense(self.out_channels, name="q")
-        k = nn.Dense(self.out_channels, name="k")
-        v = nn.Dense(self.out_channels, name="v")
+        q = nn.Dense(self.out_channels, dtype=self.dtype, name="q")
+        k = nn.Dense(self.out_channels, dtype=self.dtype, name="k")
+        v = nn.Dense(self.out_channels, dtype=self.dtype, name="v")
 
         residual = center
         if self.residual_proj:
-            residual = LinearUnit(self.out_channels, norm="batch", name="conv_res")(
+            residual = LinearUnit(self.out_channels, norm="batch", dtype=self.dtype, name="conv_res")(
                 residual, train=train
             )
 
@@ -81,7 +84,7 @@ class LocalTrans(nn.Module):
             attn = attn - 1.0
             context = jnp.max(attn * value, axis=2)
 
-        out = residual + LinearUnit(self.out_channels, norm="batch", name="ffn")(
+        out = residual + LinearUnit(self.out_channels, norm="batch", dtype=self.dtype, name="ffn")(
             context, train=train
         )
         return out

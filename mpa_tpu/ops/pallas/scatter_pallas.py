@@ -1,0 +1,114 @@
+"""Pallas scatter-mean upsample: one-hot matmuls instead of HBM scatter.
+
+Why a kernel: `jax.ops.segment_sum` lowers to an XLA scatter, which TPUs
+execute semi-serially — profiled at ~3.4 ms per call in the part-seg decoder
+(several calls per step, fwd + bwd). Reformulated: for an output tile of fine
+points, build the [S_tile, N_tile] one-hot claim mask with K vector
+comparisons and accumulate ``mask^T @ features`` on the MXU; counts come from
+``mask^T @ 1``. Everything stays in VMEM; total cost is ~B*N*S*K comparisons
+on the VPU plus trivial matmuls.
+
+Gradient: the mean-scatter's VJP w.r.t. features is a plain gather —
+``df[s] = sum_k g[idx[s,k]] / max(count[idx[s,k]], 1)`` — wired via
+jax.custom_vjp so the backward never touches a scatter either.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _scatter_kernel(feat_ref, idx_ref, out_ref, cnt_ref, *, k: int):
+    """feat_ref: [1, S, C]; idx_ref: [1, S, K]; out tile: [1, Nt, C];
+    cnt tile: [1, Nt, 128] (count broadcast along a lane-padded axis)."""
+    _, S, C = feat_ref.shape
+    _, Nt, _ = out_ref.shape
+    n0 = pl.program_id(1) * Nt
+
+    f = feat_ref[0, :, :]  # [S, C]
+    # Claim mask: mask[s, n] = sum_k (idx[s, k] == n0 + n).
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (S, Nt), 1) + n0
+    mask = jnp.zeros((S, Nt), jnp.float32)
+    for kk in range(k):
+        idx_k = idx_ref[0, :, kk].reshape(S, 1)  # [S, 1]
+        mask = mask + (idx_k == n_ids).astype(jnp.float32)
+
+    # The mask is exact small integers (<= K) even in bf16, so only the
+    # features need precision help: split f into bf16 hi+lo and do TWO default
+    # passes instead of HIGHEST's six — ~fp32 accuracy at 1/3 the MXU cost.
+    f_hi = f.astype(jnp.bfloat16).astype(jnp.float32)
+    f_lo = f - f_hi
+    dn = (((0,), (0,)), ((), ()))
+    out = jax.lax.dot_general(
+        mask, f_hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        mask, f_lo, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )  # [Nt, C]
+    cnt = jnp.sum(mask, axis=0).reshape(Nt, 1)  # [Nt, 1]
+    out_ref[0, :, :] = out
+    cnt_ref[0, :, :] = jnp.broadcast_to(cnt, (Nt, cnt_ref.shape[2]))
+
+
+@functools.partial(jax.jit, static_argnames=("num_fine", "n_tile"))
+def _scatter_sum_count(features, knn_idx, num_fine: int, n_tile: int = 512):
+    B, S, C = features.shape
+    K = knn_idx.shape[-1]
+    Nt = min(n_tile, _round_up(num_fine, 128))
+    Npad = _round_up(num_fine, Nt)
+
+    kernel = functools.partial(_scatter_kernel, k=K)
+    out, cnt = pl.pallas_call(
+        kernel,
+        grid=(B, Npad // Nt),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, K), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Nt, C), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nt, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Npad, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, Npad, 128), jnp.float32),
+        ),
+    )(features.astype(jnp.float32), knn_idx.astype(jnp.int32))
+    return out[:, :num_fine, :], cnt[:, :num_fine, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def scatter_mean_upsample_pallas(features, knn_idx, num_fine: int):
+    """Drop-in for ops.scatter_mean_upsample on TPU (same semantics: mean of
+    claiming coarse features per fine slot, zeros when unclaimed)."""
+    summed, cnt = _scatter_sum_count(features, knn_idx, num_fine)
+    return summed / jnp.maximum(cnt, 1.0)[..., None]
+
+
+def _fwd(features, knn_idx, num_fine: int):
+    summed, cnt = _scatter_sum_count(features, knn_idx, num_fine)
+    out = summed / jnp.maximum(cnt, 1.0)[..., None]
+    return out, (knn_idx, cnt)
+
+
+def _bwd(num_fine: int, res, g):
+    knn_idx, cnt = res
+    B, S, K = knn_idx.shape
+    # df[s] = sum_k g[idx[s,k]] / max(cnt[idx[s,k]], 1)
+    g_norm = g / jnp.maximum(cnt, 1.0)[..., None]  # [B, N, C]
+    flat = knn_idx.reshape(B, S * K)
+    picked = jnp.take_along_axis(g_norm, flat[..., None], axis=1).reshape(
+        B, S, K, -1
+    )
+    return jnp.sum(picked, axis=2), None
+
+
+scatter_mean_upsample_pallas.defvjp(_fwd, _bwd)

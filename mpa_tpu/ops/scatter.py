@@ -16,7 +16,11 @@ import jax.numpy as jnp
 
 
 def scatter_mean_upsample(
-    features: jnp.ndarray, knn_idx: jnp.ndarray, num_fine: int
+    features: jnp.ndarray,
+    knn_idx: jnp.ndarray,
+    num_fine: int,
+    *,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Scatter coarse features to fine slots and count-normalize.
 
@@ -33,6 +37,19 @@ def scatter_mean_upsample(
     """
     B, S, C = features.shape
     K = knn_idx.shape[-1]
+    if use_pallas is None:
+        # XLA scatters serialize on TPU; the one-hot-matmul kernel wins once
+        # the problem is big enough to amortize its launch (measured ~2x at
+        # part-seg scale). Small/CPU cases keep segment_sum.
+        use_pallas = (
+            jax.default_backend() == "tpu" and B * S * K >= 65536 and C >= 8
+        )
+    if use_pallas:
+        from mpa_tpu.ops.pallas.scatter_pallas import scatter_mean_upsample_pallas
+
+        return scatter_mean_upsample_pallas(features, knn_idx, num_fine).astype(
+            features.dtype
+        )
     batch_offset = jnp.arange(B, dtype=jnp.int32)[:, None, None] * num_fine
     seg = (knn_idx.astype(jnp.int32) + batch_offset).reshape(-1)  # [B*S*K]
     vals = jnp.broadcast_to(features[:, :, None, :], (B, S, K, C)).reshape(-1, C)
