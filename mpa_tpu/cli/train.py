@@ -167,32 +167,59 @@ def main(argv=None):
         state, best = restored
         log.info(f"resumed from checkpoint (best={best:.4f})")
 
+    from mpa_tpu.data.pipeline import prefetch_to_device
+
+    def host_batch(batch):
+        """Host-side tensor assembly (runs on the prefetch thread)."""
+        if cfg.task == "partseg":
+            pts, cats, segs = batch
+            return (
+                pts.astype(np.float32),
+                to_categorical(cats),
+                segs.astype(np.int32),
+            )
+        pts, labels = batch
+        return pts.astype(np.float32), labels.astype(np.int32)
+
     data_rng = np.random.default_rng(cfg.seed)
     aug_key = jax.random.fold_in(root_key, 2)
+    use_aug = cfg.task == "partseg" or cfg.aug_scale or cfg.aug_shift
+
+    @jax.jit
+    def aug_fn(pts, step):
+        k = jax.random.fold_in(aug_key, step)
+        pts = augment.random_scale(jax.random.fold_in(k, 0), pts)
+        return augment.random_shift(jax.random.fold_in(k, 1), pts)
+
     global_step = 0
     for epoch in range(cfg.epochs):
         t0 = time.time()
-        epoch_loss, nb = 0.0, 0
-        for batch in batches(train_arrays, cfg.batch_size, data_rng):
-            inputs, labels, _ = make_inputs(batch)
-            if cfg.task == "partseg" or cfg.aug_scale or cfg.aug_shift:
-                k = jax.random.fold_in(aug_key, global_step)
-                pts = inputs[0] if cfg.task == "partseg" else inputs
-                pts = augment.random_scale(jax.random.fold_in(k, 0), pts)
-                pts = augment.random_shift(jax.random.fold_in(k, 1), pts)
+        epoch_losses, nb = [], 0
+        it = batches(train_arrays, cfg.batch_size, data_rng)
+        for dev_batch in prefetch_to_device(it, mesh, transform=host_batch):
+            if cfg.task == "partseg":
+                pts, onehot, labels = dev_batch
+                inputs = (pts, onehot)
+            else:
+                pts, labels = dev_batch
+                inputs = pts
+            if use_aug:
+                pts = aug_fn(pts, global_step)
                 inputs = (pts, inputs[1]) if cfg.task == "partseg" else pts
-            sharded = shard_batch((inputs, labels), mesh)
-            state, loss = train_step(state, sharded[0], sharded[1], step_rng)
-            epoch_loss += float(loss)
+            state, loss = train_step(state, inputs, labels, step_rng)
+            # Keep losses on device: a float() here would block every step and
+            # defeat the prefetch/compute overlap.
+            epoch_losses.append(loss)
             nb += 1
             global_step += 1
             if args.max_steps and global_step >= args.max_steps:
                 break
+        epoch_loss = float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
         log.info(
-            f"epoch {epoch}: loss {epoch_loss / max(nb, 1):.4f} "
+            f"epoch {epoch}: loss {epoch_loss:.4f} "
             f"({time.time() - t0:.1f}s, {nb * cfg.batch_size / max(time.time() - t0, 1e-9):.1f} clouds/s)"
         )
-        log.metrics(global_step, epoch=epoch, train_loss=epoch_loss / max(nb, 1))
+        log.metrics(global_step, epoch=epoch, train_loss=epoch_loss)
 
         if epoch >= cfg.min_val_epoch:
             metric = evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epoch)

@@ -1,0 +1,105 @@
+"""Host→device input pipeline: shuffled batching, async prefetch, and
+multi-host sharding.
+
+Replaces the reference's torch DataLoader workers
+(tool/train_cls_scanobjectnn.py:176-179, n_workers=10 + GPU-FPS-in-worker
+pathology) with a TPU-idiomatic pipeline: the host assembles numpy batches on
+a background thread while the device runs the previous step, and
+``device_put`` lands each batch directly in its target sharding so the
+transfer overlaps compute.
+
+Multi-host: each process feeds only its local shard of the global batch
+(``host_shard`` slices by process index) and
+``jax.make_array_from_process_local_data`` assembles the logically-global
+array — the DCN never carries training data, only the ICI collectives XLA
+inserts (SURVEY.md §2.8 build table).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def batch_iterator(
+    arrays: Sequence[np.ndarray],
+    batch_size: int,
+    *,
+    rng: Optional[np.random.Generator] = None,
+    drop_last: bool = True,
+) -> Iterator[Tuple[np.ndarray, ...]]:
+    """Shuffled (or sequential when rng is None) co-indexed batches."""
+    n = len(arrays[0])
+    order = rng.permutation(n) if rng is not None else np.arange(n)
+    stop = n - n % batch_size if drop_last else n
+    for i in range(0, stop, batch_size):
+        idx = order[i : i + batch_size]
+        yield tuple(a[idx] for a in arrays)
+
+
+def prefetch_to_device(
+    iterator: Iterator[Any],
+    mesh: Mesh,
+    axis: str = "data",
+    buffer_size: int = 2,
+    transform: Optional[Callable[[Any], Any]] = None,
+) -> Iterator[Any]:
+    """Run the host side of the pipeline on a background thread and device_put
+    each batch with the leading dim sharded over ``axis``; yields device
+    arrays ``buffer_size`` batches ahead of consumption."""
+    sharding_cache = {}
+
+    def put(x):
+        nd = np.ndim(x)
+        if nd not in sharding_cache:
+            spec = P(axis, *([None] * (nd - 1))) if nd else P()
+            sharding_cache[nd] = NamedSharding(mesh, spec)
+        return jax.device_put(x, sharding_cache[nd])
+
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                if transform is not None:
+                    item = transform(item)
+                q.put(jax.tree_util.tree_map(put, item))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
+def host_shard(arrays: Sequence[np.ndarray], global_batch: int) -> Tuple[np.ndarray, ...]:
+    """Slice this process's shard of a global batch (multi-host input
+    feeding): process i of P owns rows [i*B/P, (i+1)*B/P)."""
+    p, i = jax.process_count(), jax.process_index()
+    assert global_batch % p == 0, (global_batch, p)
+    local = global_batch // p
+    return tuple(a[i * local : (i + 1) * local] for a in arrays)
+
+
+def global_batch_from_local(local_batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Assemble logically-global arrays from per-process local shards
+    (multi-host). On a single process this is equivalent to a sharded
+    device_put."""
+
+    def make(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1))) if np.ndim(x) else P()
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x)
+        )
+
+    return jax.tree_util.tree_map(make, local_batch)
