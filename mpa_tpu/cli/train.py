@@ -37,8 +37,93 @@ from mpa_tpu.train.checkpoint import BestCheckpointer
 from mpa_tpu.train.votes import vote_predict
 
 
+def _pose_arrays(points: np.ndarray, seed: int):
+    """Rotate each cloud by a random z-rotation; targets are the matrices."""
+    r = np.random.default_rng(seed)
+    angles = r.uniform(0, 2 * np.pi, len(points))
+    c, s = np.cos(angles), np.sin(angles)
+    zeros, ones = np.zeros_like(c), np.ones_like(c)
+    rot = np.stack([c, -s, zeros, s, c, zeros, zeros, zeros, ones], -1).reshape(
+        -1, 3, 3
+    ).astype(np.float32)
+    rotated = np.einsum("bij,bnj->bni", rot, points[..., :3])
+    return rotated.astype(np.float32), rot
+
+
+def _completion_arrays(points: np.ndarray, keep_ratio: float = 0.5):
+    """Crop a half-space from each cloud; (partial, full) pairs with static
+    partial size (farthest-from-plane points dropped)."""
+    n_keep = int(points.shape[1] * keep_ratio)
+    order = np.argsort(points[..., 0], axis=1)  # crop along x
+    partial = np.take_along_axis(points, order[:, :n_keep, None], axis=1)
+    return partial.astype(np.float32), points[..., :3].astype(np.float32)
+
+
+def _semseg_synthetic(num_rooms: int, num_points: int, seed: int):
+    from mpa_tpu.data import s3dis
+
+    r = np.random.default_rng(seed)
+    feats, labels = [], []
+    for i in range(num_rooms):
+        n = 20000
+        pts = np.zeros((n, 6), np.float32)
+        pts[:, 0] = r.uniform(0, 4, n)
+        pts[:, 1] = r.uniform(0, 3, n)
+        pts[:, 2] = r.uniform(0, 2.5, n)
+        pts[:, 3:6] = r.uniform(0, 255, (n, 3))
+        lab = np.digitize(pts[:, 2], [0.8, 1.7]).astype(np.int64)  # 3 bands
+        bx, by = s3dis.sample_blocks(pts, lab, num_blocks=24, num_points=num_points,
+                                     rng=np.random.default_rng(seed + i))
+        feats.append(bx)
+        labels.append(by)
+    return np.concatenate(feats), np.concatenate(labels)
+
+
 def load_dataset(cfg: TrainConfig):
     """Returns (train_arrays, test_arrays) where arrays are task-specific."""
+    if cfg.task == "semseg":
+        if cfg.dataset == "synthetic":
+            return (
+                _semseg_synthetic(8, cfg.num_points, 0),
+                _semseg_synthetic(2, cfg.num_points, 100),
+            )
+        from mpa_tpu.data import s3dis
+
+        def split_blocks(split, blocks_per_room):
+            feats, labels = [], []
+            for room in s3dis.list_rooms(cfg.data_root, split=split):
+                xyzrgb, lab = s3dis.load_room(room)
+                bx, by = s3dis.sample_blocks(
+                    xyzrgb, lab, blocks_per_room, cfg.num_points
+                )
+                feats.append(bx)
+                labels.append(by)
+            return np.concatenate(feats), np.concatenate(labels)
+
+        return split_blocks("train", 32), split_blocks("test", 16)
+
+    if cfg.task == "pose":
+        if cfg.dataset == "modelnet40":
+            from mpa_tpu.data.modelnet import load_modelnet
+
+            tr_p, _, _ = load_modelnet(cfg.data_root, "train", 40, cfg.num_points)
+            te_p, _, _ = load_modelnet(cfg.data_root, "test", 40, cfg.num_points)
+        else:
+            tr_p, _ = synthetic_clouds(512, cfg.num_points, cfg.num_classes, seed=0)
+            te_p, _ = synthetic_clouds(128, cfg.num_points, cfg.num_classes, seed=1)
+        return _pose_arrays(tr_p, 0), _pose_arrays(te_p, 1)
+
+    if cfg.task == "completion":
+        if cfg.dataset == "modelnet40":
+            from mpa_tpu.data.modelnet import load_modelnet
+
+            tr_p, _, _ = load_modelnet(cfg.data_root, "train", 40, cfg.num_points)
+            te_p, _, _ = load_modelnet(cfg.data_root, "test", 40, cfg.num_points)
+        else:
+            tr_p, _ = synthetic_clouds(512, cfg.num_points, cfg.num_classes, seed=0)
+            te_p, _ = synthetic_clouds(128, cfg.num_points, cfg.num_classes, seed=1)
+        return _completion_arrays(tr_p), _completion_arrays(te_p)
+
     if cfg.dataset == "synthetic":
         if cfg.task == "partseg":
             tr_d = synthetic_partseg(256, cfg.num_points, NUM_CATEGORIES, NUM_PARTS, seed=0)
@@ -113,11 +198,24 @@ def main(argv=None):
     else:
         cfg = config_from_args(args)
 
-    if cfg.task == "partseg" and cfg.model == "markov_cls":
-        cfg = cfg.with_overrides(
-            model="markov_partseg", optimizer="sgd", learning_rate=0.1,
-            scheduler="cos", num_points=2048 if cfg.dataset != "synthetic" else cfg.num_points,
-        )
+    if cfg.model == "markov_cls" and cfg.task != "cls":
+        # Task-default model resolution when only --task was given.
+        defaults = {
+            "partseg": "markov_partseg",
+            "semseg": "markov_semseg",
+            "pose": "markov_pose",
+            "completion": "markov_completion",
+        }
+        cfg = cfg.with_overrides(model=defaults[cfg.task])
+        if cfg.task == "partseg":
+            cfg = cfg.with_overrides(
+                optimizer="sgd", learning_rate=0.1, scheduler="cos",
+                num_points=2048 if cfg.dataset != "synthetic" else cfg.num_points,
+            )
+        if cfg.task == "semseg":
+            cfg = cfg.with_overrides(
+                num_classes=13 if cfg.dataset == "s3dis" else 3
+            )
 
     log = make_logger(os.path.join(cfg.log_dir, f"{cfg.task}_{cfg.dataset}"))
     log.info(f"config: {cfg}")
@@ -128,9 +226,35 @@ def main(argv=None):
     steps_per_epoch = max(1, n_train // cfg.batch_size)
 
     # --- model / optimizer ---------------------------------------------------
+    # Segmentation ladders assume their canonical input sizes (2048/4096);
+    # scale the npoint ladder for other sizes (e.g. synthetic smoke runs).
+    def seg_ladder(n_levels):
+        return tuple(cfg.num_points // 2 ** (i + 1) for i in range(n_levels))
+
     if cfg.task == "partseg":
-        model = get_model(cfg.model, num_parts=NUM_PARTS, num_categories=NUM_CATEGORIES)
+        model = get_model(
+            cfg.model, num_parts=NUM_PARTS, num_categories=NUM_CATEGORIES,
+            npoints=seg_ladder(4),
+        )
         loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, cfg.label_smoothing)
+    elif cfg.task == "semseg":
+        model = get_model(
+            cfg.model, num_classes=cfg.num_classes, npoints=seg_ladder(4)
+        )
+        loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, cfg.label_smoothing)
+    elif cfg.task == "pose":
+        from mpa_tpu.models import rotation_geodesic_loss
+
+        model = get_model(cfg.model)
+        loss_fn = rotation_geodesic_loss
+    elif cfg.task == "completion":
+        model = get_model(cfg.model)
+
+        def loss_fn(out, target):
+            coarse, fine = out
+            return tr.chamfer_distance(coarse, target) + tr.chamfer_distance(
+                fine, target
+            )
     else:
         model = get_model(cfg.model, num_classes=cfg.num_classes)
         loss_fn = lambda out, labels: tr.smooth_cls_loss(out, labels, cfg.label_smoothing)
@@ -146,7 +270,7 @@ def main(argv=None):
         if cfg.task == "partseg":
             pts, cats, segs = batch
             return (jnp.asarray(pts), jnp.asarray(to_categorical(cats))), jnp.asarray(segs), cats
-        pts, labels = batch
+        pts, labels = batch  # semseg/pose/completion/cls: (inputs, targets)
         return jnp.asarray(pts), jnp.asarray(labels), None
 
     example = next(batches(train_arrays, min(2, cfg.batch_size), np.random.default_rng(0)))
@@ -178,8 +302,13 @@ def main(argv=None):
                 to_categorical(cats),
                 segs.astype(np.int32),
             )
-        pts, labels = batch
-        return pts.astype(np.float32), labels.astype(np.int32)
+        pts, targets = batch
+        targets = (
+            targets.astype(np.int32)
+            if np.issubdtype(targets.dtype, np.integer)
+            else targets.astype(np.float32)
+        )
+        return pts.astype(np.float32), targets
 
     data_rng = np.random.default_rng(cfg.seed)
     aug_key = jax.random.fold_in(root_key, 2)
@@ -231,6 +360,46 @@ def main(argv=None):
 
 def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epoch) -> float:
     from mpa_tpu.train import metrics as M
+
+    if cfg.task == "semseg":
+        from mpa_tpu.data.s3dis import semseg_iou
+
+        preds, tgts = [], []
+        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+            inputs, labels, _ = make_inputs(batch)
+            logp = np.asarray(eval_step(state, inputs))
+            preds.append(logp.argmax(-1).reshape(-1))
+            tgts.append(np.asarray(labels).reshape(-1))
+        miou, acc, _ = semseg_iou(
+            np.concatenate(preds), np.concatenate(tgts), cfg.num_classes
+        )
+        log.info(f"eval epoch {epoch}: block-mIoU {miou:.4f} point-acc {acc:.4f}")
+        log.metrics(epoch, block_miou=miou, point_acc=acc)
+        return miou
+
+    if cfg.task == "pose":
+        from mpa_tpu.models import rotation_geodesic_loss
+
+        errs = []
+        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+            inputs, targets, _ = make_inputs(batch)
+            pred = eval_step(state, inputs)
+            errs.append(float(rotation_geodesic_loss(pred, targets)))
+        err_deg = float(np.mean(errs)) * 180.0 / np.pi
+        log.info(f"eval epoch {epoch}: mean geodesic error {err_deg:.2f} deg")
+        log.metrics(epoch, geodesic_error_deg=err_deg)
+        return -err_deg  # best-checkpoint keeps the maximum
+
+    if cfg.task == "completion":
+        cds = []
+        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+            inputs, targets, _ = make_inputs(batch)
+            coarse, fine = eval_step(state, inputs)
+            cds.append(float(tr.chamfer_distance(fine, targets)))
+        cd = float(np.mean(cds))
+        log.info(f"eval epoch {epoch}: chamfer {cd:.5f}")
+        log.metrics(epoch, chamfer=cd)
+        return -cd
 
     if cfg.task == "partseg":
         preds, tgts, cats_all = [], [], []
