@@ -24,6 +24,13 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
       ``[B, S, C]`` / ``[B, S, K, C]`` / ``[B, *group_dims, C]`` gathered points.
     """
     B, N, C = points.shape
+    if jnp.issubdtype(points.dtype, jnp.floating):
+        # Same forward; the VJP's scatter-add runs as a Pallas one-hot matmul
+        # at scale (XLA scatter-adds were the largest backward kernels in the
+        # part-seg profile).
+        from mpa_tpu.ops.pallas.gather_pallas import gather_neighbors
+
+        return gather_neighbors(points, idx)
     group_shape = idx.shape[1:]
     flat_idx = idx.reshape(B, -1)  # [B, S*K*...]
     gathered = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
