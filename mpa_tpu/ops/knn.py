@@ -64,7 +64,7 @@ def knn(
       ``(sqr_dists [B, S, k], idx [B, S, k])`` sorted by ascending distance.
     """
     if method is None:
-        if jax.default_backend() == "tpu" and query.shape[1] * base.shape[1] >= 1_000_000:
+        if jax.default_backend() == "tpu" and query.shape[1] * base.shape[1] >= 250_000:
             # Big distance matrices: the fused kernel avoids the [B,S,N] HBM
             # round-trip. Small ones: kernel-launch overhead dominates — the
             # plain sort path is faster (measured on the cls ladder).
