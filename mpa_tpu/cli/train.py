@@ -32,7 +32,7 @@ from mpa_tpu import train as tr
 from mpa_tpu.models import get_model
 from mpa_tpu.data import augment, synthetic_clouds, synthetic_partseg
 from mpa_tpu.data.shapenetpart import to_categorical, SEG_PARTS, NUM_PARTS, NUM_CATEGORIES
-from mpa_tpu.parallel import make_mesh, shard_batch, replicate, jit_sharded_train_step
+from mpa_tpu.parallel import make_mesh, replicate, jit_sharded_train_step
 from mpa_tpu.train.checkpoint import BestCheckpointer
 from mpa_tpu.train.votes import vote_predict
 

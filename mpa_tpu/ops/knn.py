@@ -4,16 +4,15 @@ Reference semantics: ``knn_point`` (modules/pointnet2_utils.py:211-222) — full
 pairwise distance then ``topk(largest=False, sorted=True)`` — and the missing
 CUDA ``query_knn_point`` (idx-only variant, SURVEY.md §2.2).
 
-TPU design: distances via one MXU einsum; selection strategy matters a lot —
-``lax.top_k`` lowers to a FULL SORT of the N axis on TPU (profiled: the sorts
-were ~45% of the part-seg train step). For small K an iterative
-argmin-and-mask selection is exact with identical tie-breaking (lowest index
-first) at ~1.8x the speed; ``lax.approx_max_k`` is another ~1.6x on top but
-approximate (recall ~0.98) — opt-in. Methods:
+TPU design: selection strategy matters a lot — ``lax.top_k`` lowers to a FULL
+SORT of the N axis on TPU (profiled: the sorts were ~45% of the part-seg train
+step). Methods:
 
-  'sort'   exact, full sort (CPU default — fastest there)
-  'iter'   exact, K passes of argmin+mask (TPU default)
-  'approx' approximate, TPU-native partial reduction (opt-in via knn_method)
+  'pallas' exact fused distance+top-k kernel, no [B,S,N] HBM materialization
+           (TPU default above the size threshold; ops/pallas/knn_pallas.py)
+  'sort'   exact, full sort (CPU default; TPU below the threshold)
+  'iter'   exact, K scan passes of argmin+mask (~1.8x sort, kept as an option)
+  'approx' lax.approx_max_k, recall ~0.98 (opt-in)
 """
 
 from __future__ import annotations
