@@ -81,7 +81,7 @@ def main(argv=None):
     if cfg.task == "partseg":
         preds, tgts, cats_all = [], [], []
         vote_key = jax.random.key(7)
-        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+        for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
             pts, cats, segs = batch
             onehot = jax.numpy.asarray(to_categorical(cats))
             pool, _ = vote_predict(
@@ -107,7 +107,7 @@ def main(argv=None):
     for rep in range(args.num_repeat):
         vote_key = jax.random.key(1000 + rep)
         votes, singles, labels_all = [], [], []
-        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(rep)):
+        for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
             pts, labels = batch
             pool, single = vote_predict(
                 lambda x: eval_step(state, x),

@@ -155,9 +155,11 @@ def load_dataset(cfg: TrainConfig):
     raise ValueError(f"unknown dataset {cfg.dataset}")
 
 
-def batches(arrays, batch_size: int, rng: np.random.Generator, drop_last=True):
+def batches(arrays, batch_size: int, rng=None, drop_last=True):
+    """rng=None -> sequential order (eval); drop_last=False keeps the ragged
+    tail batch (one extra jit specialization, but metrics cover every sample)."""
     n = len(arrays[0])
-    order = rng.permutation(n)
+    order = rng.permutation(n) if rng is not None else np.arange(n)
     stop = n - n % batch_size if drop_last else n
     for i in range(0, stop, batch_size):
         idx = order[i : i + batch_size]
@@ -312,13 +314,22 @@ def main(argv=None):
 
     data_rng = np.random.default_rng(cfg.seed)
     aug_key = jax.random.fold_in(root_key, 2)
-    use_aug = cfg.task == "partseg" or cfg.aug_scale or cfg.aug_shift
+    # Part-seg defaults to the reference's scale+shift train augmentation
+    # (tool/train_partseg.py:192-193); other tasks follow the explicit flags
+    # ONLY (pose/completion targets are not transformed, so augmenting their
+    # inputs without opting in would corrupt training).
+    do_scale = cfg.aug_scale or cfg.task == "partseg"
+    do_shift = cfg.aug_shift or cfg.task == "partseg"
+    use_aug = do_scale or do_shift
 
     @jax.jit
     def aug_fn(pts, step):
         k = jax.random.fold_in(aug_key, step)
-        pts = augment.random_scale(jax.random.fold_in(k, 0), pts)
-        return augment.random_shift(jax.random.fold_in(k, 1), pts)
+        if do_scale:
+            pts = augment.random_scale(jax.random.fold_in(k, 0), pts)
+        if do_shift:
+            pts = augment.random_shift(jax.random.fold_in(k, 1), pts)
+        return pts
 
     global_step = 0
     for epoch in range(cfg.epochs):
@@ -365,7 +376,7 @@ def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epo
         from mpa_tpu.data.s3dis import semseg_iou
 
         preds, tgts = [], []
-        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+        for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
             inputs, labels, _ = make_inputs(batch)
             logp = np.asarray(eval_step(state, inputs))
             preds.append(logp.argmax(-1).reshape(-1))
@@ -381,7 +392,7 @@ def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epo
         from mpa_tpu.models import rotation_geodesic_loss
 
         errs = []
-        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+        for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
             inputs, targets, _ = make_inputs(batch)
             pred = eval_step(state, inputs)
             errs.append(float(rotation_geodesic_loss(pred, targets)))
@@ -392,7 +403,7 @@ def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epo
 
     if cfg.task == "completion":
         cds = []
-        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+        for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
             inputs, targets, _ = make_inputs(batch)
             coarse, fine = eval_step(state, inputs)
             cds.append(float(tr.chamfer_distance(fine, targets)))
@@ -403,7 +414,7 @@ def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epo
 
     if cfg.task == "partseg":
         preds, tgts, cats_all = [], [], []
-        for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+        for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
             inputs, labels, cats = make_inputs(batch)
             logp = np.asarray(eval_step(state, inputs))
             pred = M.category_masked_argmax(logp, cats, SEG_PARTS)
@@ -417,7 +428,7 @@ def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epo
 
     votes, singles, labels_all = [], [], []
     vote_key = jax.random.fold_in(root_key, 99)
-    for batch in batches(test_arrays, cfg.batch_size, np.random.default_rng(0)):
+    for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
         inputs, labels, _ = make_inputs(batch)
         pool, single = vote_predict(
             lambda x: eval_step(state, x), inputs, vote_key, cfg.num_votes

@@ -70,8 +70,9 @@ def prefetch_to_device(
                 if transform is not None:
                     item = transform(item)
                 q.put(jax.tree_util.tree_map(put, item))
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate to the consumer, don't fake EOF
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -79,6 +80,8 @@ def prefetch_to_device(
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

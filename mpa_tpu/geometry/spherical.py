@@ -18,12 +18,23 @@ def xyz2sphere(xyz: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     theta in [0, pi] (or [0,1] normalized), phi in [-pi, pi] (or [0,1]).
     Degenerate rho==0 yields theta=0 instead of NaN.
     """
-    rho = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1, keepdims=True))
+    r2 = jnp.sum(xyz * xyz, axis=-1, keepdims=True)
+    zero = r2 == 0.0
+    # Double-where: sqrt/div at exactly 0 have NaN/inf VJPs even when the
+    # forward is masked (self-match offsets in grouped coords ARE exactly 0).
+    rho = jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, r2)))
     z = xyz[..., 2:3]
-    # Guard the division *and* clamp into acos domain against fp overshoot.
-    safe_ratio = jnp.clip(z / jnp.where(rho == 0.0, 1.0, rho), -1.0, 1.0)
-    theta = jnp.where(rho == 0.0, 0.0, jnp.arccos(safe_ratio))
-    phi = jnp.arctan2(xyz[..., 1:2], xyz[..., 0:1])
+    # Guard the division *and* clamp into acos domain against fp overshoot
+    # (|ratio| == 1 also has an infinite arccos derivative at the poles).
+    ratio = jnp.clip(
+        z / jnp.where(zero, 1.0, rho), -1.0 + 1e-7, 1.0 - 1e-7
+    )
+    theta = jnp.where(zero, 0.0, jnp.arccos(ratio))
+    # atan2(0, 0) has a NaN gradient (0/0); substitute x=1 on the z-axis —
+    # the forward value (0) is unchanged, matching torch's atan2(0, 0) == 0.
+    x, y = xyz[..., 0:1], xyz[..., 1:2]
+    on_axis = (x == 0.0) & (y == 0.0)
+    phi = jnp.arctan2(y, jnp.where(on_axis, 1.0, x))
     if normalize:
         theta = theta / _PI
         phi = phi / (2.0 * _PI) + 0.5

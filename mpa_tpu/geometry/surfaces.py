@@ -39,7 +39,14 @@ def cal_normal(
     e1 = group_xyz[..., 1, :] - group_xyz[..., 0, :]
     e2 = group_xyz[..., 2, :] - group_xyz[..., 0, :]
     nor = jnp.cross(e1, e2)
-    unit = nor / jnp.linalg.norm(nor, axis=-1, keepdims=True)
+    # Degenerate triangles (duplicate points): the reference emits NaN here
+    # and repairs it in check_nan_umb. A NaN VALUE poisons VJPs of anything
+    # that multiplies by it (NaN * 0-cotangent = NaN), so instead emit a ZERO
+    # normal — impossible for a valid unit normal — which the repair detects
+    # exactly like NaN; post-repair forward is identical to the reference.
+    n2 = jnp.sum(nor * nor, axis=-1, keepdims=True)
+    degen = n2 == 0.0
+    unit = jnp.where(degen, 0.0, nor / jnp.sqrt(jnp.where(degen, 1.0, n2)))
     if not is_group:
         pos_mask = jnp.where(unit[..., 0] > 0, 1.0, -1.0)
     else:
@@ -95,8 +102,9 @@ def check_nan(
 ) -> Tuple[jnp.ndarray, ...]:
     """Non-umbrella NaN repair (reference ``check_nan``,
     modules/recons_utils.py:127-149): per BATCH row, points whose normal has
-    any NaN are replaced by the first non-NaN point's values."""
-    bad = jnp.any(jnp.isnan(normal), axis=-1)  # [B, N]
+    any NaN (or all-zero, see cal_normal) are replaced by the first valid
+    point's values."""
+    bad = jnp.any(jnp.isnan(normal), axis=-1) | jnp.all(normal == 0.0, axis=-1)
     first_ok = jnp.argmax((~bad).astype(jnp.int32), axis=-1)  # [B]
 
     def take_first(x):
@@ -144,12 +152,14 @@ def check_nan_umbrella(
 ) -> Tuple[jnp.ndarray, ...]:
     """Repair degenerate-triangle NaN normals per umbrella fan.
 
-    For each (B, N): rows along G whose normal has any NaN are replaced (in
-    normal, center, and optionally pos) by the first non-NaN row of that fan
-    (reference ``check_nan_umb``). Implemented with masked ``where`` — no
-    boolean indexing, fully jittable.
+    For each (B, N): rows along G whose normal is invalid — any NaN (the
+    reference's marker) or all-zero (this framework's gradient-safe
+    degenerate marker, see cal_normal) — are replaced (in normal, center, and
+    optionally pos) by the first valid row of that fan (reference
+    ``check_nan_umb``). Implemented with masked ``where`` — no boolean
+    indexing, fully jittable.
     """
-    bad = jnp.any(jnp.isnan(normal), axis=-1)  # [B, N, G]
+    bad = jnp.any(jnp.isnan(normal), axis=-1) | jnp.all(normal == 0.0, axis=-1)
     first_ok = jnp.argmax((~bad).astype(jnp.int32), axis=-1)  # [B, N]
 
     def take_first(x):

@@ -1,0 +1,112 @@
+"""Regression tests for the round-1 code-review findings: NaN-gradient leaks
+through masked zero-divisions, eval tail-batch dropping, augmentation flag
+gating, and silent prefetch-thread failures."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mpa_tpu import geometry  # noqa: E402
+from mpa_tpu.nn import UmbrellaSurfaceConstructor, sample_and_group  # noqa: E402
+from mpa_tpu.data import pipeline  # noqa: E402
+from mpa_tpu.parallel import make_mesh  # noqa: E402
+
+
+def finite_grads(fn, x):
+    g = jax.grad(fn)(x)
+    return bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestNanGradientGuards:
+    def test_xyz2sphere_grad_at_zero(self):
+        x = jnp.zeros((1, 4, 3))
+        assert finite_grads(lambda p: jnp.sum(geometry.xyz2sphere(p)), x)
+
+    def test_xyz2sphere_grad_at_pole(self):
+        # |z|/rho == 1 exactly: arccos' is infinite without the clip guard.
+        x = jnp.array([[[0.0, 0.0, 2.0], [0.0, 0.0, -3.0]]])
+        assert finite_grads(lambda p: jnp.sum(geometry.xyz2sphere(p)), x)
+
+    def test_sample_and_group_polar_grads(self):
+        # Ball query always includes the centre's self-match -> exact-zero
+        # offsets feed xyz2sphere (the repsurf_ssg_2x training path).
+        r = np.random.default_rng(0)
+        center = jnp.asarray(r.normal(size=(2, 64, 3)).astype(np.float32))
+        normal = jnp.asarray(r.normal(size=(2, 64, 10)).astype(np.float32))
+
+        def loss(c):
+            _, _, grouped = sample_and_group(
+                16, 0.4, 8, c, normal, None, return_polar=True
+            )
+            return jnp.sum(grouped**2)
+
+        assert finite_grads(loss, center)
+
+    def test_cal_normal_degenerate_marker_detected_by_repair(self):
+        # Degenerates emit zero normals (gradient-safe marker); the repair
+        # must treat them exactly like the reference treats NaN.
+        tri = np.zeros((1, 2, 2, 3, 3), np.float32)
+        tri[0, :, 1] = np.random.default_rng(0).normal(size=(2, 3, 3))  # fan 1 valid
+        n = geometry.cal_normal(jnp.asarray(tri), is_group=True)
+        assert bool(jnp.all(n[:, :, 0] == 0.0))  # degenerate fan marked
+        c = geometry.cal_center(jnp.asarray(tri))
+        rn, _ = geometry.check_nan_umbrella(n, c)
+        # repaired with fan 1's valid normal
+        np.testing.assert_allclose(np.asarray(rn[:, :, 0]), np.asarray(n[:, :, 1]), atol=1e-6)
+
+    def test_umbrella_constructor_grads_with_duplicates(self):
+        r = np.random.default_rng(1)
+        pts = r.normal(size=(1, 32, 3)).astype(np.float32)
+        pts[0, 1] = pts[0, 0]  # duplicated point -> degenerate umbrella fans
+        model = UmbrellaSurfaceConstructor(k=9, random_inv=False)
+        variables = model.init({"params": jax.random.key(0)}, jnp.asarray(pts), train=False)
+
+        def loss(p):
+            out = model.apply(variables, p, train=False)
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss)(jnp.asarray(pts))
+        assert bool(jnp.all(jnp.isfinite(g))), "NaN leaked through the repair"
+
+
+class TestEvalCoversAllSamples:
+    def test_batches_keep_tail(self):
+        from mpa_tpu.cli.train import batches
+
+        x = np.arange(10)
+        got = [b[0] for b in batches((x,), 4, drop_last=False)]
+        assert sum(len(b) for b in got) == 10
+        np.testing.assert_array_equal(np.concatenate(got), x)  # sequential
+
+
+class TestAugFlagGating:
+    def test_scale_only_does_not_shift(self):
+        # random_scale is multiplicative: the origin is a fixed point. A shift
+        # would move it; scale-only must not.
+        from mpa_tpu.data import augment
+
+        pts = jnp.zeros((2, 8, 3))
+        scaled = augment.random_scale(jax.random.key(0), pts)
+        np.testing.assert_array_equal(np.asarray(scaled), 0.0)
+        shifted = augment.random_shift(jax.random.key(0), pts)
+        assert not np.allclose(np.asarray(shifted), 0.0)
+
+
+class TestPrefetchErrorPropagation:
+    def test_producer_exception_reaches_consumer(self):
+        mesh = make_mesh(axis_names=("data",))
+
+        def bad_iter():
+            yield (np.ones((8, 2), np.float32),)
+            raise ValueError("corrupt sample")
+
+        it = pipeline.prefetch_to_device(bad_iter(), mesh)
+        next(it)  # first batch fine
+        with pytest.raises(ValueError, match="corrupt sample"):
+            next(it)
