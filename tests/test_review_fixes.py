@@ -110,3 +110,28 @@ class TestPrefetchErrorPropagation:
         next(it)  # first batch fine
         with pytest.raises(ValueError, match="corrupt sample"):
             next(it)
+
+
+class TestRepSurf2xTrains:
+    def test_loss_decreases(self):
+        """The 2x model trains through the previously NaN-poisoned umbrella +
+        polar grouping path (regression for the two gradient findings)."""
+        from mpa_tpu.models import RepSurfSSG2x
+        from mpa_tpu import train as tr
+        from mpa_tpu.data.synthetic import synthetic_clouds
+
+        model = RepSurfSSG2x(num_classes=4, umbrella_k=5)
+        pts, labels = synthetic_clouds(16, num_points=600, num_classes=4)
+        pts_j, labels_j = jnp.asarray(pts), jnp.asarray(labels)
+        # duplicate a point per cloud: degenerate umbrella fans guaranteed
+        pts_j = pts_j.at[:, 1].set(pts_j[:, 0])
+
+        tx = tr.make_optimizer("adam-l2", 1e-3)
+        state = tr.create_train_state(model, jax.random.key(0), pts_j[:2], tx)
+        step = jax.jit(tr.make_train_step(tr.smooth_cls_loss))
+        losses = []
+        for _ in range(4):
+            state, loss = step(state, pts_j, labels_j, jax.random.key(1))
+            losses.append(float(loss))
+        assert all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0], losses
