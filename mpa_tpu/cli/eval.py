@@ -81,12 +81,14 @@ def main(argv=None):
     if cfg.task == "partseg":
         preds, tgts, cats_all = [], [], []
         vote_key = jax.random.key(7)
-        for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
+        for bi, batch in enumerate(batches(test_arrays, cfg.batch_size, drop_last=False)):
             pts, cats, segs = batch
             onehot = jax.numpy.asarray(to_categorical(cats))
+            # Fresh per-batch vote scales, matching the reference's per-batch
+            # draws (tool/test_classification.py:138).
             pool, _ = vote_predict(
                 lambda x: eval_step(state, (x, onehot)),
-                jax.numpy.asarray(pts), vote_key, cfg.num_votes,
+                jax.numpy.asarray(pts), jax.random.fold_in(vote_key, bi), cfg.num_votes,
             )
             pred = tr.metrics.category_masked_argmax(np.asarray(pool), cats, SEG_PARTS)
             preds += list(pred)
@@ -107,11 +109,11 @@ def main(argv=None):
     for rep in range(args.num_repeat):
         vote_key = jax.random.key(1000 + rep)
         votes, singles, labels_all = [], [], []
-        for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
+        for bi, batch in enumerate(batches(test_arrays, cfg.batch_size, drop_last=False)):
             pts, labels = batch
             pool, single = vote_predict(
                 lambda x: eval_step(state, x),
-                jax.numpy.asarray(pts), vote_key, cfg.num_votes,
+                jax.numpy.asarray(pts), jax.random.fold_in(vote_key, bi), cfg.num_votes,
             )
             votes.append(np.asarray(pool))
             singles.append(np.asarray(single))

@@ -278,6 +278,14 @@ def main(argv=None):
     example = next(batches(train_arrays, min(2, cfg.batch_size), np.random.default_rng(0)))
     ex_inputs, _, _ = make_inputs(example)
     state = tr.create_train_state(model, jax.random.fold_in(root_key, 0), ex_inputs, tx)
+    if cfg.init:
+        # Reference-parity optional re-init (tool/train_cls_scanobjectnn.py:200-202).
+        from mpa_tpu.utils.init import apply_weight_init
+
+        state = state.replace(
+            params=apply_weight_init(state.params, cfg.init, jax.random.fold_in(root_key, 2))
+        )
+        log.info(f"re-initialized weights with --init {cfg.init}")
     log.info(f"model {cfg.model}: {count_params(state.params) / 1e6:.2f}M params; "
              f"devices: {jax.device_count()}")
 
@@ -428,10 +436,11 @@ def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epo
 
     votes, singles, labels_all = [], [], []
     vote_key = jax.random.fold_in(root_key, 99)
-    for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
+    for bi, batch in enumerate(batches(test_arrays, cfg.batch_size, drop_last=False)):
         inputs, labels, _ = make_inputs(batch)
         pool, single = vote_predict(
-            lambda x: eval_step(state, x), inputs, vote_key, cfg.num_votes
+            lambda x: eval_step(state, x), inputs,
+            jax.random.fold_in(vote_key, bi), cfg.num_votes,
         )
         votes.append(np.asarray(pool))
         singles.append(np.asarray(single))

@@ -14,6 +14,9 @@ from mpa_tpu.data.augment import (
     random_rotate_z,
     random_rotate_y,
     random_rotate_perturb,
+    random_rotate_y_with_normal,
+    random_rotate_perturb_with_normal,
+    rotate_by_angle,
     random_point_dropout,
     shuffle_points,
     transform_point_cloud,
@@ -29,6 +32,9 @@ __all__ = [
     "random_rotate_z",
     "random_rotate_y",
     "random_rotate_perturb",
+    "random_rotate_y_with_normal",
+    "random_rotate_perturb_with_normal",
+    "rotate_by_angle",
     "random_point_dropout",
     "shuffle_points",
     "transform_point_cloud",

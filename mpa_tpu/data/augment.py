@@ -103,6 +103,67 @@ def random_rotate_perturb(
     return _rotate(points, rot)
 
 
+def _rotate_xyz_and_normal(points: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-cloud rotation to xyz (ch 0:3) and, when present, normals
+    (ch 3:6); extra channels pass through untouched."""
+    out = _rotate(points[..., :3], rot)
+    if points.shape[-1] >= 6:
+        out = jnp.concatenate([out, _rotate(points[..., 3:6], rot)], axis=-1)
+    if points.shape[-1] > 6:
+        out = jnp.concatenate([out, points[..., 6:]], axis=-1)
+    return out
+
+
+def _rot_y(c: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    zeros, ones = jnp.zeros_like(c), jnp.ones_like(c)
+    return jnp.stack([c, zeros, s, zeros, ones, zeros, -s, zeros, c], axis=-1).reshape(
+        c.shape + (3, 3)
+    )
+
+
+def random_rotate_y_with_normal(key: jax.Array, points: jnp.ndarray) -> jnp.ndarray:
+    """Per-cloud up-axis rotation applied to both xyz and normal channels of a
+    ``[B, N, 6]`` batch (reference tool/provider.py:86-105
+    rotate_point_cloud_with_normal)."""
+    B = points.shape[0]
+    a = jax.random.uniform(key, (B,), maxval=2.0 * jnp.pi)
+    return _rotate_xyz_and_normal(points, _rot_y(jnp.cos(a), jnp.sin(a)))
+
+
+def random_rotate_perturb_with_normal(
+    key: jax.Array,
+    points: jnp.ndarray,
+    angle_sigma: float = 0.06,
+    angle_clip: float = 0.18,
+) -> jnp.ndarray:
+    """Small 3-axis rotation perturbation of xyz + normal channels
+    (reference tool/provider.py:107-132
+    rotate_perturbation_point_cloud_with_normal)."""
+    B = points.shape[0]
+    angles = jnp.clip(
+        angle_sigma * jax.random.normal(key, (B, 3)), -angle_clip, angle_clip
+    )
+    cx, sx = jnp.cos(angles[:, 0]), jnp.sin(angles[:, 0])
+    cy, sy = jnp.cos(angles[:, 1]), jnp.sin(angles[:, 1])
+    cz, sz = jnp.cos(angles[:, 2]), jnp.sin(angles[:, 2])
+    zeros, ones = jnp.zeros_like(cx), jnp.ones_like(cx)
+    rx = jnp.stack([ones, zeros, zeros, zeros, cx, -sx, zeros, sx, cx], -1).reshape(B, 3, 3)
+    ry = jnp.stack([cy, zeros, sy, zeros, ones, zeros, -sy, zeros, cy], -1).reshape(B, 3, 3)
+    rz = jnp.stack([cz, -sz, zeros, sz, cz, zeros, zeros, zeros, ones], -1).reshape(B, 3, 3)
+    rot = jnp.einsum("bij,bjk,bkl->bil", rz, ry, rx)
+    return _rotate_xyz_and_normal(points, rot)
+
+
+def rotate_by_angle(points: jnp.ndarray, angle) -> jnp.ndarray:
+    """Deterministic up-axis rotation by a fixed angle (scalar or per-cloud
+    ``[B]``); rotates xyz and, if present, normal channels (reference
+    tool/provider.py:135-151 rotate_point_cloud_by_angle and :153-171
+    rotate_point_cloud_by_angle_with_normal)."""
+    B = points.shape[0]
+    a = jnp.broadcast_to(jnp.asarray(angle, dtype=points.dtype), (B,))
+    return _rotate_xyz_and_normal(points, _rot_y(jnp.cos(a), jnp.sin(a)))
+
+
 def random_point_dropout(
     key: jax.Array, points: jnp.ndarray, max_dropout_ratio: float = 0.875
 ) -> jnp.ndarray:

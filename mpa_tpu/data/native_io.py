@@ -73,7 +73,9 @@ def loadtxt(path: str, n_cols: int, max_rows: int = 1 << 18) -> np.ndarray:
     """Drop-in for np.loadtxt on numeric point files (whitespace/comma)."""
     lib = _load()
     if lib is None:
-        return np.loadtxt(path, delimiter=None if " " in open(path).readline() else ",").astype(np.float32)
+        with open(path) as f:
+            delim = None if " " in f.readline() else ","
+        return np.loadtxt(path, delimiter=delim).astype(np.float32)
     out = np.empty((max_rows, n_cols), np.float32)
     rows = lib.pointio_parse_file(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -81,6 +83,11 @@ def loadtxt(path: str, n_cols: int, max_rows: int = 1 << 18) -> np.ndarray:
     )
     if rows < 0:
         raise FileNotFoundError(path)
+    if rows >= max_rows:
+        raise ValueError(
+            f"{path}: file has >= max_rows={max_rows} rows; raise max_rows "
+            "(refusing to silently truncate)"
+        )
     return out[:rows].copy()
 
 

@@ -169,7 +169,17 @@ def scene_inference(
             feats_buf.append(feats_buf[-1])
             idx_buf.append(np.array([], dtype=np.int64))
         flush()
-    # Unvisited points (none in practice) default to class 0.
+    # Coverage check: sliding_blocks guarantees every point is visited; a miss
+    # here means block_size/stride are misconfigured for this scene.
+    unvisited = int(np.sum(counts == 0))
+    if unvisited:
+        import warnings
+
+        warnings.warn(
+            f"scene inference left {unvisited}/{len(counts)} points unvisited "
+            "(they default to class 0) — check block_size/stride",
+            stacklevel=2,
+        )
     return votes.argmax(-1)
 
 

@@ -38,18 +38,35 @@ class BestCheckpointer:
         if extra:
             payload["extra"] = extra
         path = self._path()
-        if os.path.exists(path):
-            import shutil
+        # Crash-safe save: write the new checkpoint fully, then swap. A crash
+        # at any point leaves at least one complete checkpoint on disk
+        # (restore() falls back to best.new / best.old).
+        import shutil
 
-            shutil.rmtree(path)
-        self._ckptr.save(path, payload)
+        new_path, old_path = path + ".new", path + ".old"
+        for stale in (new_path, old_path):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        self._ckptr.save(new_path, payload)
         self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            os.rename(path, old_path)
+        os.rename(new_path, path)
+        if os.path.exists(old_path):
+            shutil.rmtree(old_path)
         return True
 
     def restore(self, target_state: Any, *, restore_optimizer: bool = True):
         """Restore into the structure of ``target_state``; returns
         (state, metric) or None when no checkpoint exists."""
         path = self._path()
+        if not os.path.exists(path):
+            # Recover from a crash mid-swap: a complete new checkpoint is
+            # preferred over the previous one.
+            for fallback in (path + ".new", path + ".old"):
+                if os.path.exists(fallback):
+                    os.rename(fallback, path)
+                    break
         if not os.path.exists(path):
             return None
         payload = self._ckptr.restore(

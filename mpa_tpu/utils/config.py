@@ -45,6 +45,9 @@ class TrainConfig:
     num_votes: int = 3
     min_val_epoch: int = 0
 
+    # init (reference --init, tool/train_cls_scanobjectnn.py:54,200-202)
+    init: str = ""  # '' (flax default) | 'xavier' | 'kaiming' | 'zero'
+
     # system
     seed: int = 2800  # reference cls seed
     log_dir: str = "runs"

@@ -29,18 +29,20 @@ def _hadamard(n: int) -> np.ndarray:
 
 
 def zero_init_dense(key, shape, dtype=jnp.float32):
-    """ZerO init for a Dense kernel [in, out] (Zhao et al., reference
-    util/utils.py:28-42): identity when square-ish, clipped/padded
-    Hadamard-scaled partial identity otherwise."""
+    """ZerO init for a Dense kernel ``[in, out]`` (Zhao et al., reference
+    util/utils.py:28-42). The reference runs Algorithm 1 on the torch weight
+    ``[out, in]`` (m = out_features); we build that matrix and transpose into
+    flax layout, so the Hadamard branch triggers on out > in exactly as the
+    reference does."""
     in_dim, out_dim = shape[-2], shape[-1]
-    if in_dim <= out_dim:
-        w = np.eye(in_dim, out_dim)
+    if out_dim <= in_dim:
+        w = np.eye(out_dim, in_dim)  # torch eye(m, n), m <= n
     else:
-        clog = int(np.ceil(np.log2(in_dim)))
+        clog = int(np.ceil(np.log2(out_dim)))
         p = 2**clog
         h = _hadamard(p) / (2 ** (clog / 2))
-        w = (np.eye(in_dim, p) @ h @ np.eye(p, out_dim))
-    return jnp.asarray(w, dtype)
+        w = np.eye(out_dim, p) @ h @ np.eye(p, in_dim)
+    return jnp.asarray(w.T, dtype)
 
 
 def xavier_init():
@@ -49,3 +51,40 @@ def xavier_init():
 
 def kaiming_init():
     return jax.nn.initializers.he_normal()
+
+
+def apply_weight_init(params, init_type: str, key: jax.Array):
+    """Re-initialize a flax param tree the way the reference's
+    ``model.apply(weight_init)`` does (util/utils.py:45-61,
+    tool/train_cls_scanobjectnn.py:200-202): Dense/conv kernels get
+    xavier/kaiming/ZerO, their biases 0; norm scales 1, norm biases 0.
+
+    ``init_type``: 'xavier' | 'kaiming' | 'zero' (case-insensitive; 'ZerO'
+    accepted). Returns a new param tree.
+    """
+    import flax
+
+    init_type = init_type.lower()
+    if init_type not in ("xavier", "kaiming", "zero"):
+        raise ValueError(f"no such init type: {init_type}")
+    if init_type == "xavier":
+        dense_init = xavier_init()
+    elif init_type == "kaiming":
+        dense_init = kaiming_init()
+    else:
+        dense_init = zero_init_dense
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out, i = {}, 0
+    for path, leaf in sorted(flat.items()):
+        name = path[-1]
+        if name == "kernel" and (leaf.ndim == 2 or init_type != "zero"):
+            out[path] = dense_init(jax.random.fold_in(key, i), leaf.shape, leaf.dtype)
+            i += 1
+        elif name == "scale":  # norm affine weight -> 1 (flax default, kept explicit)
+            out[path] = jnp.ones_like(leaf)
+        elif name == "bias":
+            out[path] = jnp.zeros_like(leaf)
+        else:
+            out[path] = leaf
+    return flax.traverse_util.unflatten_dict(out)
