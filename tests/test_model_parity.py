@@ -55,7 +55,21 @@ def build_transplanted():
 
     tmodel = _TorchModel(_Args())
     tmodel.eval()
+    variables = extract_variables(tmodel)
 
+    jmodel = MarkovClassifier(
+        num_classes=15,
+        npoints=(128, 64, 32, 16, 8),  # scaled ladder for a 256-pt test cloud
+        channels=(64, 64, 64, 128, 256, 512),
+        residuals=(True, False, False, True, True, True),
+    )
+    return tmodel, jmodel, variables
+
+
+def extract_variables(tmodel):
+    """Map every torch weight of the full cls model into MarkovClassifier's
+    variable tree. Re-runnable on the same model (e.g. with H.t2j patched to
+    read ``.grad`` for gradient-parity extraction)."""
     residuals = (True, False, False, True, True, True)
     kh_params, kh_stats = {}, {}
     for i in range(6):
@@ -75,14 +89,7 @@ def build_transplanted():
         p, s = _bn_vars(getattr(tmodel, f"bn{i}"))
         params[f"bn{i}"], stats[f"bn{i}"] = p, s
     params["fc3"] = H.dense_params(tmodel.fc3)
-
-    jmodel = MarkovClassifier(
-        num_classes=15,
-        npoints=(128, 64, 32, 16, 8),  # scaled ladder for a 256-pt test cloud
-        channels=(64, 64, 64, 128, 256, 512),
-        residuals=residuals,
-    )
-    return tmodel, jmodel, {"params": params, "batch_stats": stats}
+    return {"params": params, "batch_stats": stats}
 
 
 class _TorchModel(torch.nn.Module):

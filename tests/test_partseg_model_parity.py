@@ -84,8 +84,18 @@ def _fuse_vars(ref_fuse, t):
 def build_transplanted():
     torch.manual_seed(77)
     tmodel = _TorchPartSeg().eval()
-    kh = tmodel.keepHigh
+    variables = extract_variables(tmodel)
+    jmodel = MarkovPartSeg(
+        num_parts=NUM_PARTS, num_categories=NUM_CATS, npoints=LADDER,
+        residuals=(True, False, False, True, True),
+    )
+    return tmodel, jmodel, variables
 
+
+def extract_variables(tmodel):
+    """Map every torch weight into MarkovPartSeg's variable tree. Re-runnable
+    on the same model (e.g. with H.t2j patched to read ``.grad``)."""
+    kh = tmodel.keepHigh
     residuals = (True, False, False, True, True)
     p, s = {}, {}
     for i in range(5):
@@ -107,17 +117,14 @@ def build_transplanted():
     for name in ("conv8", "conv9", "conv10"):
         params[name], stats[name] = H.linear_unit_vars(getattr(tmodel, name))
     params["conv11"] = H.dense_params(tmodel.conv11)
-
-    jmodel = MarkovPartSeg(
-        num_parts=NUM_PARTS, num_categories=NUM_CATS, npoints=LADDER,
-        residuals=residuals,
-    )
-    return tmodel, jmodel, {"params": params, "batch_stats": stats}
+    return {"params": params, "batch_stats": stats}
 
 
-def _run_ref(tmodel, x, onehot):
+def _run_ref(tmodel, x, onehot, grad=False):
     """Drive the torch reference with deterministic FPS (scaled ladder) and a
-    CPU upsample (the reference's is torch.cuda-only)."""
+    CPU upsample (the reference's is torch.cuda-only). With ``grad=True``,
+    ``x`` may be a torch tensor with requires_grad and the raw log-probs
+    tensor is returned (no detach)."""
     ref_mod = REF["pointnet2_utils"]
     orig_fps, orig_up = ref_mod.farthest_point_sample, ref_mod.upsample
     ladder = iter(LADDER)
@@ -141,6 +148,10 @@ def _run_ref(tmodel, x, onehot):
     ref_mod.farthest_point_sample = fps
     ref_mod.upsample = cpu_upsample
     try:
+        if grad:
+            xt = x if torch.is_tensor(x) else torch.from_numpy(x.transpose(0, 2, 1))
+            logits = tmodel(xt, torch.from_numpy(onehot[:, None, :]))
+            return F.log_softmax(logits, -1)
         with torch.no_grad():
             logits = tmodel(
                 torch.from_numpy(x.transpose(0, 2, 1)),
