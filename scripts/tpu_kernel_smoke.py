@@ -1,0 +1,79 @@
+"""On-TPU smoke for the four Pallas kernels (CI pins tests to CPU interpret
+mode — tests/test_pallas_kernels.py; this script runs the compiled Mosaic
+kernels on the real chip and checks them against the XLA paths).
+
+Run: cd /root/repo && python scripts/tpu_kernel_smoke.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpa_tpu import ops
+from mpa_tpu.ops.pallas.knn_pallas import knn_indices_pallas
+from mpa_tpu.ops.pallas.fps_pallas import farthest_point_sample_pallas
+from mpa_tpu.ops.pallas.scatter_pallas import scatter_mean_upsample_pallas
+from mpa_tpu.ops.pallas.gather_pallas import gather_neighbors, scatter_add_pallas
+
+
+def main():
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    r = np.random.default_rng(0)
+    failures = 0
+
+    base = jnp.asarray(r.normal(size=(4, 1000, 3)).astype(np.float32))
+    query = jnp.asarray(r.normal(size=(4, 500, 3)).astype(np.float32))
+
+    got = np.asarray(knn_indices_pallas(8, base, query))
+    _, want = ops.knn(8, base, query, method="sort")
+    ok = np.array_equal(got, np.asarray(want))
+    failures += not ok
+    print(f"knn_indices_pallas: {'OK' if ok else 'MISMATCH'}")
+
+    got = np.asarray(farthest_point_sample_pallas(base, 250))
+    want = np.asarray(ops.farthest_point_sample(base, 250, use_pallas=False))
+    ok = np.array_equal(got, want)
+    failures += not ok
+    print(f"farthest_point_sample_pallas: {'OK' if ok else 'MISMATCH'}")
+
+    feats = jnp.asarray(r.normal(size=(4, 500, 64)).astype(np.float32))
+    idx = jnp.asarray(r.integers(0, 1000, size=(4, 500, 8)).astype(np.int32))
+    got = np.asarray(scatter_mean_upsample_pallas(feats, idx, 1000))
+    want = np.asarray(ops.scatter_mean_upsample(feats, idx, 1000, use_pallas=False))
+    err = np.max(np.abs(got - want))
+    ok = err < 1e-4
+    failures += not ok
+    print(f"scatter_mean_upsample_pallas: {'OK' if ok else 'MISMATCH'} (max err {err:.2e})")
+
+    g = jnp.asarray(r.normal(size=(4, 4000, 64)).astype(np.float32))
+    sidx = jnp.asarray(r.integers(0, 1000, size=(4, 4000)).astype(np.int32))
+    got = np.asarray(scatter_add_pallas(g, sidx, 1000))
+    off = jnp.arange(4, dtype=jnp.int32)[:, None] * 1000
+    seg = (sidx + off).reshape(-1)
+    want = np.asarray(
+        jax.ops.segment_sum(g.reshape(-1, 64), seg, num_segments=4000).reshape(4, 1000, 64)
+    )
+    err = np.max(np.abs(got - want))
+    ok = err < 1e-3
+    failures += not ok
+    print(f"scatter_add_pallas: {'OK' if ok else 'MISMATCH'} (max err {err:.2e})")
+
+    w = jnp.asarray(r.normal(size=(4, 500, 8, 64)).astype(np.float32))
+    gf = jax.grad(lambda p: jnp.sum(gather_neighbors(p, idx) * w))(
+        jnp.asarray(r.normal(size=(4, 1000, 64)).astype(np.float32))
+    )
+    ok = bool(jnp.all(jnp.isfinite(gf)))
+    failures += not ok
+    print(f"gather_neighbors VJP: {'OK' if ok else 'NON-FINITE'}")
+
+    print("PASS" if failures == 0 else f"FAIL ({failures})")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""CI coverage for the four Pallas TPU kernels via
+``pltpu.force_tpu_interpret_mode()`` — runs the actual kernel bodies on CPU
+and asserts agreement with the XLA paths (VERDICT r1 item 4). Edges covered:
+non-128-multiple N, tied distances (duplicate points), k near the lane width,
+unclaimed scatter slots, keyed/fixed FPS starts, and the custom-VJP backward.
+
+One on-TPU smoke for the same kernels lives in scripts/tpu_kernel_smoke.py
+(runnable via the verify skill; the CI image pins tests to CPU)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mpa_tpu import ops  # noqa: E402
+from mpa_tpu.ops.pallas.knn_pallas import knn_indices_pallas, knn_pallas  # noqa: E402
+from mpa_tpu.ops.pallas.fps_pallas import farthest_point_sample_pallas  # noqa: E402
+from mpa_tpu.ops.pallas.scatter_pallas import scatter_mean_upsample_pallas  # noqa: E402
+from mpa_tpu.ops.pallas.gather_pallas import (  # noqa: E402
+    gather_neighbors,
+    scatter_add_pallas,
+)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+class TestKnnKernel:
+    @pytest.mark.parametrize(
+        "N,S,k",
+        [
+            (100, 33, 8),     # padded N (100 -> 128), ragged S
+            (128, 128, 8),    # exact lane width
+            (130, 7, 16),     # N just past a lane boundary, tiny S
+            (96, 24, 63),     # k near the 64 sublane edge
+        ],
+    )
+    def test_indices_match_xla(self, N, S, k):
+        r = rng(N + S + k)
+        base = jnp.asarray(r.normal(size=(2, N, 3)).astype(np.float32))
+        query = jnp.asarray(r.normal(size=(2, S, 3)).astype(np.float32))
+        got = np.asarray(knn_indices_pallas(k, base, query))
+        _, want = ops.knn(k, base, query, method="sort")
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+    def test_tied_distances_pick_lowest_index(self):
+        """Duplicate points: both the kernel and lax.top_k must break ties by
+        lowest base index."""
+        r = rng(7)
+        pts = r.normal(size=(1, 40, 3)).astype(np.float32)
+        pts[0, 20:40] = pts[0, 0:20]  # every point duplicated once
+        base = jnp.asarray(np.concatenate([pts, pts], 0).reshape(2, 40, 3))
+        query = base[:, :10, :]
+        got = np.asarray(knn_indices_pallas(4, base, query))
+        _, want = ops.knn(4, base, query, method="sort")
+        np.testing.assert_array_equal(got, np.asarray(want))
+        # self must be first, its duplicate second
+        np.testing.assert_array_equal(got[:, :, 0], np.arange(10)[None, :].repeat(2, 0))
+        np.testing.assert_array_equal(got[:, :, 1], 20 + np.arange(10)[None, :].repeat(2, 0))
+
+    def test_wrapper_distances_differentiable(self):
+        r = rng(3)
+        base = jnp.asarray(r.normal(size=(1, 64, 3)).astype(np.float32))
+        query = jnp.asarray(r.normal(size=(1, 16, 3)).astype(np.float32))
+
+        def f(b, q):
+            d, _ = knn_pallas(4, b, q)
+            return jnp.sum(d)
+
+        def f_xla(b, q):
+            d, _ = ops.knn(4, b, q, method="sort")
+            return jnp.sum(d)
+
+        gb, gq = jax.grad(f, argnums=(0, 1))(base, query)
+        wb, wq = jax.grad(f_xla, argnums=(0, 1))(base, query)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(wb), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(wq), atol=1e-5)
+
+
+class TestFpsKernel:
+    @pytest.mark.parametrize("N,npoint", [(100, 30), (128, 64), (257, 128), (64, 64)])
+    def test_matches_xla_fixed_start(self, N, npoint):
+        r = rng(N)
+        pts = jnp.asarray(r.normal(size=(3, N, 3)).astype(np.float32))
+        got = np.asarray(farthest_point_sample_pallas(pts, npoint))
+        want = np.asarray(ops.farthest_point_sample(pts, npoint, use_pallas=False))
+        np.testing.assert_array_equal(got, want)
+
+    def test_matches_xla_keyed_start(self):
+        r = rng(11)
+        pts = jnp.asarray(r.normal(size=(2, 90, 3)).astype(np.float32))
+        key = jax.random.key(5)
+        got = np.asarray(farthest_point_sample_pallas(pts, 16, key=key))
+        want = np.asarray(ops.farthest_point_sample(pts, 16, key=key, use_pallas=False))
+        np.testing.assert_array_equal(got, want)
+
+    def test_duplicate_points(self):
+        """All-identical tail: argmax over -inf-masked padding must never pick
+        a padded lane."""
+        r = rng(13)
+        pts = r.normal(size=(1, 70, 3)).astype(np.float32)
+        pts[0, 35:] = pts[0, 0]  # half the cloud coincident
+        pts = jnp.asarray(pts)
+        got = np.asarray(farthest_point_sample_pallas(pts, 40))
+        want = np.asarray(ops.farthest_point_sample(pts, 40, use_pallas=False))
+        np.testing.assert_array_equal(got, want)
+        assert got.max() < 70
+
+
+class TestScatterMeanKernel:
+    def _case(self, B=2, S=24, K=8, num_fine=100, seed=0):
+        r = rng(seed)
+        feats = jnp.asarray(r.normal(size=(B, S, 16)).astype(np.float32))
+        idx = jnp.asarray(r.integers(0, num_fine, size=(B, S, K)).astype(np.int32))
+        return feats, idx, num_fine
+
+    def test_matches_xla(self):
+        feats, idx, num_fine = self._case()
+        got = np.asarray(scatter_mean_upsample_pallas(feats, idx, num_fine))
+        want = np.asarray(ops.scatter_mean_upsample(feats, idx, num_fine, use_pallas=False))
+        # num_fine=100 guarantees unclaimed slots; both must zero them.
+        assert np.any(np.all(want == 0.0, axis=-1))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_backward_matches_xla(self):
+        feats, idx, num_fine = self._case(seed=2)
+
+        def f(fe):
+            return jnp.sum(scatter_mean_upsample_pallas(fe, idx, num_fine) ** 2)
+
+        def f_xla(fe):
+            return jnp.sum(ops.scatter_mean_upsample(fe, idx, num_fine, use_pallas=False) ** 2)
+
+        got = np.asarray(jax.grad(f)(feats))
+        want = np.asarray(jax.grad(f_xla)(feats))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_all_claim_one_slot(self):
+        """Degenerate: every coarse point claims slot 0 (count = S*K)."""
+        B, S, K, C = 1, 8, 4, 8
+        feats = jnp.asarray(rng(3).normal(size=(B, S, C)).astype(np.float32))
+        idx = jnp.zeros((B, S, K), jnp.int32)
+        got = np.asarray(scatter_mean_upsample_pallas(feats, idx, 10))
+        want = np.asarray(ops.scatter_mean_upsample(feats, idx, 10, use_pallas=False))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+class TestGatherScatterAdd:
+    def test_scatter_add_matches_segment_sum(self):
+        r = rng(4)
+        B, Sp, C, N = 2, 300, 8, 77
+        g = jnp.asarray(r.normal(size=(B, Sp, C)).astype(np.float32))
+        idx = jnp.asarray(r.integers(0, N, size=(B, Sp)).astype(np.int32))
+        got = np.asarray(scatter_add_pallas(g, idx, N))
+        off = jnp.arange(B, dtype=jnp.int32)[:, None] * N
+        seg = (idx + off).reshape(-1)
+        want = np.asarray(
+            jax.ops.segment_sum(g.reshape(-1, C), seg, num_segments=B * N).reshape(B, N, C)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_gather_forward_and_vjp(self):
+        r = rng(5)
+        pts = jnp.asarray(r.normal(size=(2, 50, 12)).astype(np.float32))
+        idx = jnp.asarray(r.integers(0, 50, size=(2, 20, 6)).astype(np.int32))
+        got = np.asarray(gather_neighbors(pts, idx))
+        want = np.asarray(ops.index_points(pts, idx))
+        np.testing.assert_array_equal(got, want)
+
+        w = jnp.asarray(r.normal(size=got.shape).astype(np.float32))
+
+        def f(p):
+            return jnp.sum(gather_neighbors(p, idx) * w)
+
+        def f_xla(p):
+            return jnp.sum(ops.index_points(p, idx) * w)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f)(pts)), np.asarray(jax.grad(f_xla)(pts)), atol=1e-5
+        )
