@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from mpa_tpu.ops.knn import knn
 from mpa_tpu.ops.gather import index_points
+from mpa_tpu.ops.pallas.attention_pallas import transition_attention
 from mpa_tpu.nn.linear import LinearUnit
 from mpa_tpu.nn.local_trans import LocalTrans
 
@@ -87,32 +88,51 @@ class LocalMerge(nn.Module):
         # Feature-space kNN: neighbours of the coarse features among the fine.
         _, idx_feat = knn(self.num_neighbors, feature, center_feat)
 
-        m1 = LocalTrans(
+        trans1 = LocalTrans(
             self.out_channels,
             self.num_neighbors,
             residual_proj=self.residual,
             use_tanh=self.use_tanh,
             dtype=self.dtype,
             name="feature_trans",
-        )(feature, center_feat, idx, train=train)
-        m2 = LocalTrans(
+        )
+        trans2 = LocalTrans(
             self.out_channels,
             self.num_neighbors,
             residual_proj=self.residual,
             use_tanh=self.use_tanh,
             dtype=self.dtype,
             name="feature_trans2",
-        )(feature, center_feat, idx_feat, train=train)
-        branches = [m1, m2]
-        if self.include_xyz_branch:
-            xyz_f = LocalTrans(
-                self.out_channels,
-                self.num_neighbors,
-                residual_proj=True,
-                use_tanh=self.use_tanh,
-                dtype=self.dtype,
-                name="xyz_trans",
-            )(base_xyz, xyz, idx, xyz_mode=True, train=train)
+        )
+        m2 = trans2(feature, center_feat, idx_feat, train=train)
+
+        if not self.include_xyz_branch or self.use_tanh:
+            m1 = trans1(feature, center_feat, idx, train=train)
+            branches = [m1, m2]
+            if self.include_xyz_branch:
+                xyz_f = LocalTrans(
+                    self.out_channels, self.num_neighbors, residual_proj=True,
+                    use_tanh=self.use_tanh, dtype=self.dtype, name="xyz_trans",
+                )(base_xyz, xyz, idx, xyz_mode=True, train=train)
+                branches = [xyz_f, m1, m2]
+        else:
+            # The xyz branch and the spatial feature branch group by the SAME
+            # kNN index (modules/pointnet2_utils.py:460-467): pack both
+            # branches' node tensors and pay for ONE row gather (TPU gathers
+            # are row-count-bound, so 4C costs the same as 2C).
+            xyz_trans = LocalTrans(
+                self.out_channels, self.num_neighbors, residual_proj=True,
+                use_tanh=self.use_tanh, dtype=self.dtype, name="xyz_trans",
+            )
+            C = self.out_channels
+            packed = jnp.concatenate(
+                [xyz_trans.node_pack(base_xyz), trans1.node_pack(feature)], axis=-1
+            )  # [B, N, 4C]
+            xshift = xyz_trans.value_shift(xyz)  # [B, S, C]
+            shifts = jnp.concatenate([xshift, jnp.zeros_like(xshift)], axis=-1)
+            ctx = transition_attention(packed, idx, shifts, 2, C)  # [B, S, 2C]
+            xyz_f = xyz_trans.ffn_out(ctx[..., :C], xyz, train=train)
+            m1 = trans1.ffn_out(ctx[..., C:], center_feat, train=train)
             branches = [xyz_f, m1, m2]
         out = LinearUnit(self.out_channels, norm="batch", dtype=self.dtype, name="fc2")(
             jnp.concatenate(branches, axis=-1), train=train

@@ -63,6 +63,31 @@ def main():
     failures += not ok
     print(f"scatter_add_pallas: {'OK' if ok else 'MISMATCH'} (max err {err:.2e})")
 
+    from mpa_tpu.ops.pallas.attention_pallas import transition_attention
+
+    packed = np.asarray(r.normal(size=(4, 1000, 256)).astype(np.float32))
+    packed[..., :64] = np.exp(packed[..., :64])
+    packed[..., 128:192] = np.exp(packed[..., 128:192])
+    packed = jnp.asarray(packed)
+    aidx = jnp.asarray(r.integers(0, 1000, size=(4, 500, 8)).astype(np.int32))
+    got = np.asarray(transition_attention(packed, aidx, None, 2, 64, use_pallas=True))
+    want = np.asarray(transition_attention(packed, aidx, None, 2, 64, use_pallas=False))
+    err = np.max(np.abs(got - want))
+    ok = err < 1e-4
+    failures += not ok
+    print(f"transition_attention fwd: {'OK' if ok else 'MISMATCH'} (max err {err:.2e})")
+    gw = jnp.asarray(r.normal(size=got.shape).astype(np.float32))
+    gp = jax.grad(
+        lambda p: jnp.sum(transition_attention(p, aidx, None, 2, 64, use_pallas=True) * gw)
+    )(packed)
+    wp = jax.grad(
+        lambda p: jnp.sum(transition_attention(p, aidx, None, 2, 64, use_pallas=False) * gw)
+    )(packed)
+    err = np.max(np.abs(np.asarray(gp) - np.asarray(wp)))
+    ok = err < 1e-3
+    failures += not ok
+    print(f"transition_attention bwd: {'OK' if ok else 'MISMATCH'} (max err {err:.2e})")
+
     w = jnp.asarray(r.normal(size=(4, 500, 8, 64)).astype(np.float32))
     gf = jax.grad(lambda p: jnp.sum(gather_neighbors(p, idx) * w))(
         jnp.asarray(r.normal(size=(4, 1000, 64)).astype(np.float32))

@@ -191,3 +191,70 @@ class TestGatherScatterAdd:
         np.testing.assert_allclose(
             np.asarray(jax.grad(f)(pts)), np.asarray(jax.grad(f_xla)(pts)), atol=1e-5
         )
+
+
+class TestTransitionAttentionKernel:
+    def _case(self, B=2, N=100, S=37, K=8, C=16, nB=2, seed=0):
+        from mpa_tpu.ops.pallas.attention_pallas import transition_attention
+
+        r = rng(seed)
+        packed = np.asarray(r.normal(size=(B, N, nB * 2 * C)).astype(np.float32))
+        for b in range(nB):  # E channels carry exp(...) > 0 (model invariant)
+            packed[..., 2 * b * C : (2 * b + 1) * C] = np.exp(
+                packed[..., 2 * b * C : (2 * b + 1) * C]
+            )
+        packed = jnp.asarray(packed)
+        idx = jnp.asarray(r.integers(0, N, size=(B, S, K)).astype(np.int32))
+        shifts = jnp.asarray(r.normal(size=(B, S, nB * C)).astype(np.float32))
+        return transition_attention, packed, idx, shifts, nB, C
+
+    @pytest.mark.parametrize("nB,S", [(1, 64), (2, 37), (2, 128)])
+    def test_forward_matches_xla(self, nB, S):
+        ta, packed, idx, shifts, nB, C = self._case(S=S, nB=nB)
+        got = np.asarray(ta(packed, idx, shifts, nB, C, use_pallas=True))
+        want = np.asarray(ta(packed, idx, shifts, nB, C, use_pallas=False))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_none_shifts(self):
+        ta, packed, idx, shifts, nB, C = self._case(seed=3)
+        got = np.asarray(ta(packed, idx, None, nB, C, use_pallas=True))
+        want = np.asarray(ta(packed, idx, None, nB, C, use_pallas=False))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_backward_matches_xla(self):
+        ta, packed, idx, shifts, nB, C = self._case(seed=1)
+        w = jnp.asarray(rng(9).normal(size=(2, 37, nB * C)).astype(np.float32))
+
+        def f(use):
+            def loss(p, s):
+                return jnp.sum(ta(p, idx, s, nB, C, use_pallas=use) * w)
+            return jax.grad(loss, argnums=(0, 1))(packed, shifts)
+
+        gp, gs = f(True)
+        wp, ws = f(False)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), atol=1e-5)
+
+    def test_tied_max_gradient_convention(self):
+        """Duplicate neighbour indices force exact ties in the K-max; the
+        kernel must split the gradient like XLA's reduce_max VJP."""
+        from mpa_tpu.ops.pallas.attention_pallas import transition_attention as ta
+
+        r = rng(4)
+        B, N, S, K, C = 1, 20, 10, 6, 8
+        packed = np.asarray(r.normal(size=(B, N, 2 * C)).astype(np.float32))
+        packed[..., :C] = np.exp(packed[..., :C])
+        packed = jnp.asarray(packed)
+        idx_np = r.integers(0, N, size=(B, S, K)).astype(np.int32)
+        idx_np[..., 1] = idx_np[..., 0]  # duplicated neighbour -> tied w
+        idx = jnp.asarray(idx_np)
+        w = jnp.asarray(r.normal(size=(B, S, C)).astype(np.float32))
+
+        def f(use):
+            return jax.grad(
+                lambda p: jnp.sum(ta(p, idx, None, 1, C, use_pallas=use) * w)
+            )(packed)
+
+        np.testing.assert_allclose(
+            np.asarray(f(True)), np.asarray(f(False)), atol=1e-5
+        )
