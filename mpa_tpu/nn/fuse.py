@@ -38,7 +38,7 @@ def compose_fps_chain(fps: Sequence[jnp.ndarray], src: int, dst: int) -> jnp.nda
     assert src < dst
     idx = fps[dst - 1]  # [B, N_dst] into scale dst-1
     for j in range(dst - 2, src - 1, -1):
-        idx = jnp.take_along_axis(fps[j], idx, axis=1)
+        idx = jnp.take_along_axis(fps[j], idx, axis=1, mode="promise_in_bounds")
     return idx
 
 

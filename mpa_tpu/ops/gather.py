@@ -33,7 +33,9 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         return gather_neighbors(points, idx)
     group_shape = idx.shape[1:]
     flat_idx = idx.reshape(B, -1)  # [B, S*K*...]
-    gathered = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
+    gathered = jnp.take_along_axis(
+        points, flat_idx[..., None], axis=1, mode="promise_in_bounds"
+    )
     return gathered.reshape((B,) + group_shape + (C,))
 
 
@@ -64,4 +66,4 @@ def resort_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     Returns:
       ``[B, N, G, C]`` with the G axis permuted per (B, N).
     """
-    return jnp.take_along_axis(points, idx[..., None], axis=2)
+    return jnp.take_along_axis(points, idx[..., None], axis=2, mode="promise_in_bounds")

@@ -63,10 +63,12 @@ def knn(
       ``(sqr_dists [B, S, k], idx [B, S, k])`` sorted by ascending distance.
     """
     if method is None:
-        if jax.default_backend() == "tpu" and query.shape[1] * base.shape[1] >= 250_000:
+        if jax.default_backend() == "tpu" and query.shape[1] * base.shape[1] >= 30_000:
             # Big distance matrices: the fused kernel avoids the [B,S,N] HBM
-            # round-trip. Small ones: kernel-launch overhead dominates — the
-            # plain sort path is faster (measured on the cls ladder).
+            # round-trip. Tiny ones: kernel-launch overhead dominates — the
+            # plain sort path is faster. (Threshold re-measured after the
+            # min/tie/mask selection rewrite: pallas wins from ~30k pairs up —
+            # 0.06 vs 0.15 ms at S=128, N=256.)
             method = "pallas"
         else:
             method = "sort"

@@ -38,6 +38,12 @@ from mpa_tpu.ops.pallas.gather_pallas import scatter_add_pallas
 
 _EPS = 1e-38
 
+# Precision of the backward one-hot scatter ('bf16' = one MXU pass with
+# bf16-rounded gradient inputs + f32 accumulation — ~0.4% relative rounding on
+# a gradient, far below SGD noise, at half the MXU passes; set to 'hilo' for
+# ~fp32-exact gradients).
+GRAD_SCATTER_PRECISION = "bf16"
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -160,7 +166,9 @@ def _bwd_pallas(G, shifts, gctx, n_branches: int, c: int):
 def _gather(packed, idx):
     B, S, K = idx.shape
     flat = idx.reshape(B, S * K)
-    out = jnp.take_along_axis(packed, flat[..., None], axis=1)
+    out = jnp.take_along_axis(
+        packed, flat[..., None], axis=1, mode="promise_in_bounds"
+    )
     return out.reshape(B, S, K, packed.shape[-1])
 
 
@@ -194,7 +202,8 @@ def _attention_bwd(n_branches: int, c: int, res, g):
     B, S, K, W = G.shape
     dG, dshift = _bwd_pallas(G, shifts, g, n_branches, c)
     dpacked = scatter_add_pallas(
-        dG.reshape(B, S * K, W), idx.reshape(B, S * K), n_points
+        dG.reshape(B, S * K, W), idx.reshape(B, S * K), n_points,
+        precision=GRAD_SCATTER_PRECISION,
     ).astype(G.dtype)
     return dpacked, None, dshift
 

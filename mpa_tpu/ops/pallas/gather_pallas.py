@@ -24,7 +24,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _scatter_add_kernel(g_ref, idx_ref, out_ref):
+def _scatter_add_kernel(g_ref, idx_ref, out_ref, *, precision: str = "hilo"):
     """g_ref: [1, Sc, C] grads; idx_ref: [1, Sc, 1] targets; out tile:
     [1, Nt, C], accumulated across the S-chunk grid dimension."""
     _, Sc, C = g_ref.shape
@@ -41,22 +41,34 @@ def _scatter_add_kernel(g_ref, idx_ref, out_ref):
     n_ids = jax.lax.broadcasted_iota(jnp.int32, (Sc, Nt), 1) + n0
     mask = (idx == n_ids).astype(jnp.float32)  # [Sc, Nt]
 
-    # bf16 hi/lo split: mask entries are exact 0/1, so only g needs help.
-    g_hi = g.astype(jnp.bfloat16).astype(jnp.float32)
-    g_lo = g - g_hi
     dn = (((0,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(
-        mask, g_hi, dimension_numbers=dn, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        mask, g_lo, dimension_numbers=dn, preferred_element_type=jnp.float32
-    )
+    if precision == "bf16":
+        # One MXU pass: inputs rounded to bf16 (~0.4% rel), f32 accumulation.
+        # Used for GRADIENT scatters where the rounding is far below SGD noise
+        # and the pass count dominates the step time.
+        acc = jax.lax.dot_general(
+            mask, g.astype(jnp.bfloat16).astype(jnp.float32),
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+    else:
+        # bf16 hi/lo split: mask entries are exact 0/1, so only g needs help —
+        # two default passes instead of HIGHEST's six, ~fp32 accuracy.
+        g_hi = g.astype(jnp.bfloat16).astype(jnp.float32)
+        g_lo = g - g_hi
+        acc = jax.lax.dot_general(
+            mask, g_hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            mask, g_lo, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
     out_ref[0, :, :] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("num_points",))
-def scatter_add_pallas(grads, idx, num_points: int):
+@functools.partial(jax.jit, static_argnames=("num_points", "precision"))
+def scatter_add_pallas(grads, idx, num_points: int, precision: str = "hilo"):
     """sum-scatter: out[b, idx[b, s]] += grads[b, s].
-    grads ``[B, S', C]``, idx ``[B, S']`` -> ``[B, num_points, C]``."""
+    grads ``[B, S', C]``, idx ``[B, S']`` -> ``[B, num_points, C]``.
+    precision: 'hilo' (~fp32 exact, 2 MXU passes) or 'bf16' (1 pass,
+    inputs rounded to bf16 — for gradient scatters)."""
     B, Sp, C = grads.shape
     Nt = max(128, min(512, _round_up(num_points, 128)))
     Npad = _round_up(num_points, Nt)
@@ -72,7 +84,7 @@ def scatter_add_pallas(grads, idx, num_points: int):
     ix = ix[..., None]  # [B, Spad, 1]
 
     out = pl.pallas_call(
-        _scatter_add_kernel,
+        functools.partial(_scatter_add_kernel, precision=precision),
         grid=(B, Npad // Nt, Spad // Sc),
         in_specs=[
             pl.BlockSpec((1, Sc, C), lambda b, n, s: (b, s, 0), memory_space=pltpu.VMEM),
@@ -89,7 +101,9 @@ def _gather_impl(points, idx, n_points: int):
     B = points.shape[0]
     C = points.shape[-1]
     flat = idx.reshape(B, -1)
-    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    out = jnp.take_along_axis(
+        points, flat[..., None], axis=1, mode="promise_in_bounds"
+    )
     return out.reshape((B,) + idx.shape[1:] + (C,))
 
 

@@ -121,7 +121,9 @@ def knn_pallas(
     # Differentiable re-computation of the selected distances.
     B, S, _ = query.shape
     flat = idx.reshape(B, S * k)
-    gathered = jnp.take_along_axis(base, flat[..., None], axis=1).reshape(
+    gathered = jnp.take_along_axis(
+        base, flat[..., None], axis=1, mode="promise_in_bounds"
+    ).reshape(
         B, S, k, base.shape[-1]
     )
     d = jnp.sum((query[:, :, None, :] - gathered) ** 2, axis=-1)

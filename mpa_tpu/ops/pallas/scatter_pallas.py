@@ -96,19 +96,22 @@ def scatter_mean_upsample_pallas(features, knn_idx, num_fine: int):
 def _fwd(features, knn_idx, num_fine: int):
     summed, cnt = _scatter_sum_count(features, knn_idx, num_fine)
     out = summed / jnp.maximum(cnt, 1.0)[..., None]
-    return out, (knn_idx, cnt)
+    # 0-size probe carries features' dtype (shapes/dtypes aren't jax types).
+    return out, (knn_idx, cnt, jnp.zeros((0,), features.dtype))
 
 
 def _bwd(num_fine: int, res, g):
-    knn_idx, cnt = res
+    knn_idx, cnt, dtype_probe = res
     B, S, K = knn_idx.shape
     # df[s] = sum_k g[idx[s,k]] / max(cnt[idx[s,k]], 1)
     g_norm = g / jnp.maximum(cnt, 1.0)[..., None]  # [B, N, C]
     flat = knn_idx.reshape(B, S * K)
-    picked = jnp.take_along_axis(g_norm, flat[..., None], axis=1).reshape(
+    picked = jnp.take_along_axis(
+        g_norm, flat[..., None], axis=1, mode="promise_in_bounds"
+    ).reshape(
         B, S, K, -1
     )
-    return jnp.sum(picked, axis=2), None
+    return jnp.sum(picked, axis=2).astype(dtype_probe.dtype), None
 
 
 scatter_mean_upsample_pallas.defvjp(_fwd, _bwd)

@@ -35,7 +35,7 @@ def subsample_points(
             k, N, shape=(num_point,), replace=False
         ).astype(jnp.int32)
     )(keys)
-    return jnp.take_along_axis(points, idx[..., None], axis=1)
+    return jnp.take_along_axis(points, idx[..., None], axis=1, mode="promise_in_bounds")
 
 
 def random_sample(

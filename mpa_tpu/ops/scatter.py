@@ -42,7 +42,7 @@ def scatter_mean_upsample(
         # the problem is big enough to amortize its launch (measured ~2x at
         # part-seg scale). Small/CPU cases keep segment_sum.
         use_pallas = (
-            jax.default_backend() == "tpu" and B * S * K >= 65536 and C >= 8
+            jax.default_backend() == "tpu" and B * S * K >= 8192 and C >= 8
         )
     if use_pallas:
         from mpa_tpu.ops.pallas.scatter_pallas import scatter_mean_upsample_pallas
