@@ -1,9 +1,22 @@
-"""Headline benchmark: training throughput (clouds/sec/chip) of the flagship
-MarkovClassifier on the ScanObjectNN configuration (1024 points), full train
-step (forward + backward + optimizer update), steady state on one chip.
+"""Headline benchmarks: training throughput (clouds/sec/chip) of BOTH
+reference workloads, full train step (forward + backward + optimizer update),
+steady state on one chip.
 
-Baseline: the reference trains ~21.5 clouds/s on its GPU
-(log timestamps, BASELINE.md). Prints ONE JSON line.
+- cls: MarkovClassifier, ScanObjectNN config (1024 pts, batch 64).
+  Baseline 21.5 clouds/s (reference GPU epoch timestamps, BASELINE.md).
+- partseg: MarkovPartSeg, ShapeNetPart config (2048 pts, batch 16).
+  Baseline 29.6 clouds/s.
+
+Timing: the axon tunnel's ``block_until_ready`` returns before device work
+completes (round-1 bench numbers were inflated by it); every window here ends
+with a host transfer of the loss, which is a true fence. Chip rate swings in
+multi-second episodes, so several windows are taken; both the best and the
+median window are reported. MFU comes from XLA's compiled cost analysis over
+a v5e bf16 peak of 197 TFLOP/s (these models are gather/VPU-bound, so single-
+digit MFU is the honest roofline position, not a bug).
+
+Prints ONE JSON line; the primary metric is the part-seg throughput (the
+harder workload), with both workloads nested.
 """
 
 import json
@@ -16,52 +29,98 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-BASELINE_CLOUDS_PER_SEC = 21.5
-BATCH = 64
-NUM_POINTS = 1024
-WARMUP = 3
-ITERS = 20
+V5E_PEAK_FLOPS = 197e12  # bf16
 
 
-def main():
+def _measure(step, state, args, batch, windows, iters):
+    # Warmup (compile + queue drain), fenced by a host transfer.
+    for _ in range(3):
+        state, loss = step(state, *args)
+    float(loss)
+    times = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = step(state, *args)
+        float(loss)  # host fence
+        times.append((time.perf_counter() - t0) / iters)
+        time.sleep(0.2)
+    times.sort()
+    best, median = times[0], times[len(times) // 2]
+    return batch / best, batch / median, best
+
+
+def bench_cls():
     from mpa_tpu.models import get_model
     from mpa_tpu import train as tr
 
+    B, N = 64, 1024
     model = get_model("markov_cls", num_classes=15)
-    points = jax.random.normal(
-        jax.random.key(0), (BATCH, NUM_POINTS, 3), jnp.float32
-    )
-    labels = jax.random.randint(jax.random.key(1), (BATCH,), 0, 15)
-
+    pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
+    labels = jax.random.randint(jax.random.key(1), (B,), 0, 15)
     tx = tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4)
-    state = tr.create_train_state(model, jax.random.key(2), points[:2], tx)
+    state = tr.create_train_state(model, jax.random.key(2), pts[:2], tx)
     step = jax.jit(tr.make_train_step(tr.smooth_cls_loss), donate_argnums=(0,))
+    flops = _flops(step, state, (pts, labels, jax.random.key(3)))
+    best, median, dt = _measure(
+        step, state, (pts, labels, jax.random.key(3)), B, windows=6, iters=40
+    )
+    return best, median, dt, flops
 
-    rng = jax.random.key(3)
-    for _ in range(WARMUP):
-        state, loss = step(state, points, labels, rng)
-    jax.block_until_ready(loss)
 
-    # The tunneled chip's effective rate swings by seconds-long episodes
-    # (observed 17k-36k clouds/s across runs); spread several short windows
-    # over a few seconds and take the best as the hardware-capability number.
-    best_dt = float("inf")
-    for w in range(8):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            state, loss = step(state, points, labels, rng)
-        jax.block_until_ready(loss)
-        best_dt = min(best_dt, (time.perf_counter() - t0) / ITERS)
-        time.sleep(0.3)
+def bench_partseg():
+    from mpa_tpu.models import get_model
+    from mpa_tpu import train as tr
 
-    clouds_per_sec = BATCH / best_dt
+    B, N = 16, 2048
+    model = get_model("markov_partseg")
+    pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
+    onehot = jax.nn.one_hot(jax.random.randint(jax.random.key(1), (B,), 0, 16), 16)
+    segs = jax.random.randint(jax.random.key(2), (B, N), 0, 50)
+    tx = tr.make_optimizer("sgd", 0.1, weight_decay=1e-4, momentum=0.9)
+    state = tr.create_train_state(model, jax.random.key(3), (pts[:2], onehot[:2]), tx)
+    loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, 0.1)
+    step = jax.jit(tr.make_train_step(loss_fn), donate_argnums=(0,))
+    args = ((pts, onehot), segs, jax.random.key(4))
+    flops = _flops(step, state, args)
+    best, median, dt = _measure(step, state, args, B, windows=6, iters=20)
+    return best, median, dt, flops
+
+
+def _flops(step, state, args):
+    try:
+        cost = step.lower(state, *args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main():
+    cls_best, cls_med, cls_dt, cls_flops = bench_cls()
+    ps_best, ps_med, ps_dt, ps_flops = bench_partseg()
+
+    def block(best, med, dt, flops, baseline):
+        return {
+            "clouds_per_sec_best": round(best, 1),
+            "clouds_per_sec_median": round(med, 1),
+            "ms_per_step": round(dt * 1e3, 2),
+            "vs_baseline_best": round(best / baseline, 2),
+            "vs_baseline_median": round(med / baseline, 2),
+            "mfu_pct": round(100.0 * flops / dt / V5E_PEAK_FLOPS, 2) if flops else None,
+        }
+
     print(
         json.dumps(
             {
-                "metric": "train_clouds_per_sec_per_chip",
-                "value": round(clouds_per_sec, 2),
+                "metric": "partseg_train_clouds_per_sec_per_chip",
+                "value": round(ps_best, 1),
                 "unit": "clouds/s",
-                "vs_baseline": round(clouds_per_sec / BASELINE_CLOUDS_PER_SEC, 2),
+                "vs_baseline": round(ps_best / 29.6, 2),
+                "partseg": block(ps_best, ps_med, ps_dt, ps_flops, 29.6),
+                "cls": block(cls_best, cls_med, cls_dt, cls_flops, 21.5),
+                "timing_note": "host-transfer fenced (block_until_ready is unreliable on this tunnel; r1 cls numbers were inflated by it)",
             }
         )
     )
