@@ -212,3 +212,60 @@ class TestCheckpoint:
             jax.tree_util.tree_leaves(state2.params),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestMultiDevicePartSeg:
+    def test_sharded_partseg_step_matches_single_device(self):
+        """The seg path (3-branch LocalMerge encoder, Fuse exchanges,
+        segment-sum scatter decoder) under the data mesh: one sharded train
+        step must reproduce the single-device parameters (VERDICT r1 item 6)."""
+        assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+        from mpa_tpu.models import get_model
+        from mpa_tpu.data.synthetic import synthetic_partseg
+
+        B, N = 16, 64
+        model = get_model(
+            "markov_partseg", num_parts=8, num_categories=4,
+            npoints=(32, 16, 8, 4), channels=(8, 8, 8, 16, 16),
+            num_neighbors=4,
+        )
+        pts, cats, segs = synthetic_partseg(B, num_points=N, num_categories=4, num_parts=8)
+        onehot = np.eye(4, dtype=np.float32)[np.asarray(cats) % 4]
+        inputs = (jnp.asarray(pts), jnp.asarray(onehot))
+        labels = jnp.asarray(segs % 8)
+
+        loss_fn = lambda out, lab: tr.smooth_seg_loss(out, lab, 0.1)
+        tx = tr.make_optimizer("sgd", 0.1, momentum=0.0)
+        ex = (inputs[0][:2], inputs[1][:2])
+        state = tr.create_train_state(model, jax.random.key(0), ex, tx)
+        raw_step = tr.make_train_step(loss_fn)
+        rng = jax.random.key(1)
+
+        s1, loss1 = jax.jit(raw_step)(state, inputs, labels, rng)
+
+        mesh = make_mesh(axis_names=("data",))
+        sharded = jit_sharded_train_step(raw_step, mesh)
+        state8 = replicate(tr.create_train_state(model, jax.random.key(0), ex, tx), mesh)
+        in8, l8 = shard_batch((inputs, labels), mesh)
+        s8, loss8 = sharded(state8, in8, l8, replicate(rng, mesh))
+
+        assert abs(float(loss1) - float(loss8)) < 1e-5
+
+        # Sharded-vs-single shapes tile per-sample reductions differently, so
+        # a near-tie kNN/FPS selection can flip on isolated samples and move a
+        # few gradient elements discretely; a real sharding bug diverges
+        # everywhere by orders of magnitude. Assert: tiny global max deviation
+        # AND >=99.5% of elements at fp-reduction-noise level.
+        def assert_matches(t1, t8, what, frac_ok):
+            a = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(t1)])
+            b = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(t8)])
+            diff = np.abs(a - b)
+            assert diff.max() < 1e-3, f"{what}: max diff {diff.max()}"
+            frac = float(np.mean(diff <= 1e-4))
+            assert frac >= frac_ok, f"{what}: only {frac:.4f} within 1e-4"
+
+        assert_matches(s1.params, s8.params, "params", 0.995)
+        # Batch stats also reduce globally (cross-replica BN); a flipped
+        # sample shifts batch means by O(1/B), so allow a few more elements
+        # in the 1e-4..1e-3 band.
+        assert_matches(s1.batch_stats, s8.batch_stats, "batch_stats", 0.95)
