@@ -27,7 +27,10 @@ torch.manual_seed(0)
 
 
 def t2j(t):
-    return jnp.asarray(t.detach().numpy())
+    # .copy(): on CPU jax can alias the numpy view zero-copy, and torch's
+    # in-place optimizer updates would then silently mutate the "transplanted"
+    # jax arrays (bit us in the training-equivalence test).
+    return jnp.asarray(t.detach().numpy().copy())
 
 
 def randomize_bn_(bn):

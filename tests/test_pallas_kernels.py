@@ -222,6 +222,8 @@ class TestTransitionAttentionKernel:
         np.testing.assert_allclose(got, want, atol=1e-6)
 
     def test_backward_matches_xla(self):
+        from mpa_tpu.ops.pallas import attention_pallas as AP
+
         ta, packed, idx, shifts, nB, C = self._case(seed=1)
         w = jnp.asarray(rng(9).normal(size=(2, 37, nB * C)).astype(np.float32))
 
@@ -230,10 +232,27 @@ class TestTransitionAttentionKernel:
                 return jnp.sum(ta(p, idx, s, nB, C, use_pallas=use) * w)
             return jax.grad(loss, argnums=(0, 1))(packed, shifts)
 
-        gp, gs = f(True)
         wp, ws = f(False)
+        # Exact mode: hilo backward scatter reproduces XLA to fp noise.
+        orig = AP.GRAD_SCATTER_PRECISION
+        try:
+            AP.GRAD_SCATTER_PRECISION = "hilo"
+            gp, gs = f(True)
+        finally:
+            AP.GRAD_SCATTER_PRECISION = orig
         np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-5)
         np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), atol=1e-5)
+        # Production mode (bf16 single-pass scatter): each addend is rounded
+        # at ~0.4% of its own magnitude, so the right bound is absolute error
+        # against the gradient SCALE (element-wise relative bounds break down
+        # where summed contributions cancel).
+        gp2, gs2 = f(True)
+        np.testing.assert_allclose(np.asarray(gs2), np.asarray(ws), atol=1e-5)
+        err = np.abs(np.asarray(gp2) - np.asarray(wp))
+        scale = np.abs(np.asarray(wp)).max()
+        assert float(err.max()) < 0.01 * scale, (
+            f"bf16 scatter err {err.max()} vs grad scale {scale}"
+        )
 
     def test_tied_max_gradient_convention(self):
         """Duplicate neighbour indices force exact ties in the K-max; the
@@ -255,6 +274,14 @@ class TestTransitionAttentionKernel:
                 lambda p: jnp.sum(ta(p, idx, None, 1, C, use_pallas=use) * w)
             )(packed)
 
-        np.testing.assert_allclose(
-            np.asarray(f(True)), np.asarray(f(False)), atol=1e-5
-        )
+        # hilo scatter: the tie-splitting convention must match bit-for-bit
+        # (precision mode is orthogonal to the convention under test).
+        from mpa_tpu.ops.pallas import attention_pallas as AP
+
+        orig = AP.GRAD_SCATTER_PRECISION
+        try:
+            AP.GRAD_SCATTER_PRECISION = "hilo"
+            got = np.asarray(f(True))
+        finally:
+            AP.GRAD_SCATTER_PRECISION = orig
+        np.testing.assert_allclose(got, np.asarray(f(False)), atol=1e-5)
