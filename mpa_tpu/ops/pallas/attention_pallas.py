@@ -36,7 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mpa_tpu.ops.pallas.gather_pallas import scatter_add_pallas
 
-_EPS = 1e-38
+# Guard for an all-underflowed exp-sum denominator. Must sit ABOVE the f32
+# subnormal range: 1e-38 flushes to 0.0 on TPU/CPU, turning the guard into
+# 0/0 = NaN on zero rows (S-padding in the fused backward, or a query whose
+# K neighbours all underflow vs the node-level stabilizer max).
+_EPS = 1e-20
 
 # Precision of the backward one-hot scatter ('bf16' = one MXU pass with
 # bf16-rounded gradient inputs + f32 accumulation — ~0.4% relative rounding on
@@ -53,7 +57,9 @@ def _attn_math(E, V, g=None):
     """Shared fwd/bwd math on one branch. E, V: [..., S, K, C]; g: [..., S, C].
     Returns ctx (fwd) or (dE, dV) (bwd). Matches XLA semantics exactly:
     maximum(denom, eps) gates the denom gradient; max-over-K gradient splits
-    equally among ties."""
+    equally among ties. Inputs must be f32: _EPS underflows in bf16 (same
+    exponent range as f32, but the denom sum itself loses bits) — callers
+    upcast per-tile in VMEM so HBM traffic stays in the storage dtype."""
     denom = jnp.sum(E, axis=-2, keepdims=True)
     denom_f = jnp.maximum(denom, _EPS)
     attn = E / denom_f - 1.0
@@ -75,32 +81,97 @@ def _attn_math(E, V, g=None):
 
 
 def _fwd_kernel(g_ref, shift_ref, ctx_ref, *, n_branches: int, c: int):
-    """g_ref: [1, St, K, nB*2C]; shift_ref: [1, St, nB*C]; ctx: [1, St, nB*C]."""
-    G = g_ref[0]  # [St, K, W]
+    """g_ref: [1, St, K, nB*2C]; shift_ref: [1, St, nB*C]; ctx: [1, St, nB*C].
+    Math runs in f32 (see _attn_math); bf16 inputs upcast per-tile. The
+    expand_dims reshape must happen on an f32 vector — Mosaic's layout
+    inference rejects the (St, c) -> (St, 1, c) shape cast on bf16."""
+    G = g_ref[0].astype(jnp.float32)  # [St, K, W]
     shift = shift_ref[0]  # [St, nB*C]
     outs = []
     for r in range(n_branches):
         E = G[:, :, 2 * r * c : (2 * r + 1) * c]
         V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
-        V = V + jnp.expand_dims(shift[:, r * c : (r + 1) * c], 1)
+        s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
+        V = V + jnp.expand_dims(s, 1)
         outs.append(_attn_math(E, V))
-    ctx_ref[0] = jnp.concatenate(outs, axis=-1)
+    ctx_ref[0] = jnp.concatenate(outs, axis=-1).astype(ctx_ref.dtype)
 
 
 def _bwd_kernel(g_ref, shift_ref, gctx_ref, dg_ref, dshift_ref, *, n_branches: int, c: int):
-    G = g_ref[0]
+    G = g_ref[0].astype(jnp.float32)
     shift = shift_ref[0]
-    gctx = gctx_ref[0]
+    gctx = gctx_ref[0].astype(jnp.float32)
     douts, dshifts = [], []
     for r in range(n_branches):
         E = G[:, :, 2 * r * c : (2 * r + 1) * c]
         V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
-        V = V + jnp.expand_dims(shift[:, r * c : (r + 1) * c], 1)
+        s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
+        V = V + jnp.expand_dims(s, 1)
         dE, dV = _attn_math(E, V, gctx[:, r * c : (r + 1) * c])
         douts += [dE, dV]
         dshifts.append(jnp.sum(dV, axis=-2))
-    dg_ref[0] = jnp.concatenate(douts, axis=-1)
-    dshift_ref[0] = jnp.concatenate(dshifts, axis=-1)
+    dg_ref[0] = jnp.concatenate(douts, axis=-1).astype(dg_ref.dtype)
+    dshift_ref[0] = jnp.concatenate(dshifts, axis=-1).astype(dshift_ref.dtype)
+
+
+def _bwd_scatter_kernel(
+    g_ref, shift_ref, gctx_ref, idx_ref, dpacked_ref, dshift_ref,
+    *, n_branches: int, c: int, precision: str,
+):
+    """Fused attention-backward + one-hot scatter-add.
+
+    Per (batch, S-chunk) grid step: recompute the per-edge gradients dG in
+    VMEM exactly as _bwd_kernel, then immediately accumulate
+    ``dpacked[n] += sum_{(s,k): idx[s,k]==n} dG[s,k]`` as a one-hot matmul on
+    the MXU. The [B, S, K, W] edge-gradient tensor never exists in HBM (the
+    old path wrote it out and re-read it in scatter_add_pallas — two extra
+    full passes over the largest tensor in the step).
+
+    g_ref: [1, St, K, W]; shift/gctx: [1, St, nB*C]; idx_ref: [1, St*K, 1]
+    (pre-flattened); dpacked_ref: [1, Npad, W] accumulator, revisited across
+    the minor (S-chunk) grid dim; dshift_ref: [1, St, nB*C].
+    """
+    _, St, K, W = g_ref.shape
+    Npad = dpacked_ref.shape[1]
+    s_chunk = pl.program_id(1)
+
+    G = g_ref[0].astype(jnp.float32)
+    shift = shift_ref[0]
+    gctx = gctx_ref[0].astype(jnp.float32)
+    douts, dshifts = [], []
+    for r in range(n_branches):
+        E = G[:, :, 2 * r * c : (2 * r + 1) * c]
+        V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
+        s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
+        V = V + jnp.expand_dims(s, 1)
+        dE, dV = _attn_math(E, V, gctx[:, r * c : (r + 1) * c])
+        douts += [dE, dV]
+        dshifts.append(jnp.sum(dV, axis=-2))
+    dG = jnp.concatenate(douts, axis=-1).reshape(St * K, W)
+    dshift_ref[0] = jnp.concatenate(dshifts, axis=-1).astype(dshift_ref.dtype)
+
+    @pl.when(s_chunk == 0)
+    def _():
+        dpacked_ref[0] = jnp.zeros((Npad, W), jnp.float32)
+
+    idx = idx_ref[0]  # [St*K, 1]
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (St * K, Npad), 1)
+    dn = (((0,), (0,)), ((), ()))
+    if precision == "bf16":
+        mask = (idx == n_ids).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            mask, dG.astype(jnp.bfloat16),
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+    else:
+        mask = (idx == n_ids).astype(jnp.float32)
+        hi = dG.astype(jnp.bfloat16).astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            mask, hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            mask, dG - hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+    dpacked_ref[0] += acc
 
 
 def _pick_tile(S: int, K: int, W: int) -> int:
@@ -163,6 +234,57 @@ def _bwd_pallas(G, shifts, gctx, n_branches: int, c: int):
     return dG[:, :S], dshift[:, :S]
 
 
+@functools.partial(jax.jit, static_argnames=("n_points", "n_branches", "c"))
+def _bwd_scatter_pallas(G, shifts, gctx, idx, n_points: int, n_branches: int, c: int):
+    """Fused backward: (dpacked [B, n_points, W] f32, dshift [B, S, nB*C])."""
+    B, S, K, W = G.shape
+    Npad = _round_up(n_points, 128)
+    # VMEM model per S-row: ~8 live [K, W] f32 temporaries through the
+    # attention backward (G, V, dw/dV/dattn/dE chains, dG) plus the
+    # [K, Npad] mask row; fixed: the [Npad, W] f32 accumulator. Budget well
+    # under the 16MB scoped limit (double-buffered input blocks ride on top).
+    bytes_per = 2 if GRAD_SCATTER_PRECISION == "bf16" else 4
+    budget = 10 * 1024 * 1024 - Npad * W * 4
+    per_row = K * (W * 4 * 8 + Npad * bytes_per)
+    bound = max(8, min(512, budget // per_row))
+    # Largest power of two <= bound: S is a power of two at every model scale,
+    # so Sp == S and the [B, S, K, W] operand needs no HBM pad pass (a pad on
+    # the step's largest tensor costs ~3.5 ms, more than the fusion saves).
+    St = 1 << (bound.bit_length() - 1)
+    St = min(St, _round_up(S, 8))
+    Sp = _round_up(S, St)
+    if Sp != S:
+        G = jnp.pad(G, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
+        gctx = jnp.pad(gctx, ((0, 0), (0, Sp - S), (0, 0)))
+        # padded rows must claim no target node
+        idx = jnp.pad(idx, ((0, 0), (0, Sp - S), (0, 0)), constant_values=Npad + 1)
+    idx_flat = idx.astype(jnp.int32).reshape(B, Sp * K, 1)
+    kern = functools.partial(
+        _bwd_scatter_kernel, n_branches=n_branches, c=c,
+        precision=GRAD_SCATTER_PRECISION,
+    )
+    dpacked, dshift = pl.pallas_call(
+        kern,
+        grid=(B, Sp // St),
+        in_specs=[
+            pl.BlockSpec((1, St, K, W), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, St * K, 1), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Npad, W), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Npad, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, Sp, n_branches * c), G.dtype),
+        ),
+    )(G, shifts, gctx, idx_flat)
+    return dpacked[:, :n_points], dshift[:, :S]
+
+
 def _gather(packed, idx):
     B, S, K = idx.shape
     flat = idx.reshape(B, S * K)
@@ -173,8 +295,10 @@ def _gather(packed, idx):
 
 
 def _xla_reference(packed, idx, shifts, n_branches: int, c: int):
-    """Identical math in plain jnp (CPU path + CI oracle)."""
-    G = _gather(packed, idx)
+    """Identical math in plain jnp (CPU path + CI oracle). Like the kernel,
+    internal math runs in f32 (bf16 storage dtypes upcast per-branch)."""
+    G = _gather(packed, idx).astype(jnp.float32)
+    shifts = shifts.astype(jnp.float32)
     outs = []
     for r in range(n_branches):
         E = G[..., 2 * r * c : (2 * r + 1) * c]
@@ -183,7 +307,7 @@ def _xla_reference(packed, idx, shifts, n_branches: int, c: int):
         denom = jnp.sum(E, axis=2, keepdims=True)
         attn = E / jnp.maximum(denom, _EPS) - 1.0
         outs.append(jnp.max(attn * V, axis=2))
-    return jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(outs, axis=-1).astype(packed.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -199,13 +323,8 @@ def _attention_fwd(packed, idx, shifts, n_branches: int, c: int):
 
 def _attention_bwd(n_branches: int, c: int, res, g):
     G, idx, shifts, n_points = res
-    B, S, K, W = G.shape
-    dG, dshift = _bwd_pallas(G, shifts, g, n_branches, c)
-    dpacked = scatter_add_pallas(
-        dG.reshape(B, S * K, W), idx.reshape(B, S * K), n_points,
-        precision=GRAD_SCATTER_PRECISION,
-    ).astype(G.dtype)
-    return dpacked, None, dshift
+    dpacked, dshift = _bwd_scatter_pallas(G, shifts, g, idx, n_points, n_branches, c)
+    return dpacked.astype(G.dtype), None, dshift
 
 
 _attention_pallas.defvjp(_attention_fwd, _attention_bwd)

@@ -285,3 +285,42 @@ class TestTransitionAttentionKernel:
         finally:
             AP.GRAD_SCATTER_PRECISION = orig
         np.testing.assert_allclose(got, np.asarray(f(False)), atol=1e-5)
+
+    def test_bf16_storage_fwd_bwd(self):
+        """bf16 storage dtype (mixed-precision model path): the kernel upcasts
+        per-tile to f32 internally, so outputs/grads must track an f32 oracle
+        fed the SAME bf16-rounded inputs to bf16 resolution."""
+        ta, packed, idx, shifts, nB, C = self._case(seed=7, nB=2, S=64)
+        packed16 = packed.astype(jnp.bfloat16)
+        shifts16 = shifts.astype(jnp.bfloat16)
+        # Oracle sees identical values: bf16-rounded, then run in f32.
+        p32 = packed16.astype(jnp.float32)
+        s32 = shifts16.astype(jnp.float32)
+        w = jnp.asarray(rng(11).normal(size=(2, 64, nB * C)).astype(np.float32))
+
+        out16 = ta(packed16, idx, shifts16, nB, C, use_pallas=True)
+        assert out16.dtype == jnp.bfloat16
+        out32 = ta(p32, idx, s32, nB, C, use_pallas=False)
+        scale = float(np.abs(np.asarray(out32)).max())
+        err = np.abs(np.asarray(out16, np.float32) - np.asarray(out32))
+        assert float(err.max()) < 0.01 * scale, f"fwd err {err.max()} vs {scale}"
+
+        def loss(use, p, s):
+            return jnp.sum(
+                ta(p, idx, s, nB, C, use_pallas=use).astype(jnp.float32) * w
+            )
+
+        gp16, gs16 = jax.grad(lambda p, s: loss(True, p, s), argnums=(0, 1))(
+            packed16, shifts16
+        )
+        assert gp16.dtype == jnp.bfloat16 and gs16.dtype == jnp.bfloat16
+        gp32, gs32 = jax.grad(lambda p, s: loss(False, p, s), argnums=(0, 1))(
+            p32, s32
+        )
+        for g16, g32 in ((gp16, gp32), (gs16, gs32)):
+            g16 = np.asarray(g16, np.float32)
+            g32 = np.asarray(g32)
+            assert np.isfinite(g16).all()
+            scale = float(np.abs(g32).max())
+            err = float(np.abs(g16 - g32).max())
+            assert err < 0.02 * scale, f"bwd err {err} vs grad scale {scale}"
