@@ -80,43 +80,32 @@ def _attn_math(E, V, g=None):
     return dE, dV
 
 
-def _fwd_kernel(g_ref, shift_ref, ctx_ref, *, n_branches: int, c: int):
-    """g_ref: [1, St, K, nB*2C]; shift_ref: [1, St, nB*C]; ctx: [1, St, nB*C].
-    Math runs in f32 (see _attn_math); bf16 inputs upcast per-tile. The
-    expand_dims reshape must happen on an f32 vector — Mosaic's layout
+def _fwd_kernel(g_ref, *rest, n_branches: int, c: int, has_shift: bool):
+    """g_ref: [1, St, K, nB*2C]; shift_ref (if has_shift): [1, St, nB*C];
+    ctx: [1, St, nB*C]. A None shift drops the operand entirely (no zeros
+    tensor in HBM, no per-edge add — the common single-branch feature-mode
+    call). Math runs in f32 (see _attn_math); bf16 inputs upcast per-tile.
+    The expand_dims reshape must happen on an f32 vector — Mosaic's layout
     inference rejects the (St, c) -> (St, 1, c) shape cast on bf16."""
+    if has_shift:
+        shift_ref, ctx_ref = rest
+        shift = shift_ref[0]  # [St, nB*C]
+    else:
+        (ctx_ref,) = rest
     G = g_ref[0].astype(jnp.float32)  # [St, K, W]
-    shift = shift_ref[0]  # [St, nB*C]
     outs = []
     for r in range(n_branches):
         E = G[:, :, 2 * r * c : (2 * r + 1) * c]
         V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
-        s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
-        V = V + jnp.expand_dims(s, 1)
+        if has_shift:
+            s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
+            V = V + jnp.expand_dims(s, 1)
         outs.append(_attn_math(E, V))
     ctx_ref[0] = jnp.concatenate(outs, axis=-1).astype(ctx_ref.dtype)
 
 
-def _bwd_kernel(g_ref, shift_ref, gctx_ref, dg_ref, dshift_ref, *, n_branches: int, c: int):
-    G = g_ref[0].astype(jnp.float32)
-    shift = shift_ref[0]
-    gctx = gctx_ref[0].astype(jnp.float32)
-    douts, dshifts = [], []
-    for r in range(n_branches):
-        E = G[:, :, 2 * r * c : (2 * r + 1) * c]
-        V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
-        s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
-        V = V + jnp.expand_dims(s, 1)
-        dE, dV = _attn_math(E, V, gctx[:, r * c : (r + 1) * c])
-        douts += [dE, dV]
-        dshifts.append(jnp.sum(dV, axis=-2))
-    dg_ref[0] = jnp.concatenate(douts, axis=-1).astype(dg_ref.dtype)
-    dshift_ref[0] = jnp.concatenate(dshifts, axis=-1).astype(dshift_ref.dtype)
-
-
 def _bwd_scatter_kernel(
-    g_ref, shift_ref, gctx_ref, idx_ref, dpacked_ref, dshift_ref,
-    *, n_branches: int, c: int, precision: str,
+    g_ref, *rest, n_branches: int, c: int, precision: str, has_shift: bool,
 ):
     """Fused attention-backward + one-hot scatter-add.
 
@@ -127,28 +116,36 @@ def _bwd_scatter_kernel(
     old path wrote it out and re-read it in scatter_add_pallas — two extra
     full passes over the largest tensor in the step).
 
-    g_ref: [1, St, K, W]; shift/gctx: [1, St, nB*C]; idx_ref: [1, St*K, 1]
-    (pre-flattened); dpacked_ref: [1, Npad, W] accumulator, revisited across
-    the minor (S-chunk) grid dim; dshift_ref: [1, St, nB*C].
+    g_ref: [1, St, K, W]; shift (if has_shift)/gctx: [1, St, nB*C];
+    idx_ref: [1, St*K, 1] (pre-flattened); dpacked_ref: [1, Npad, W]
+    accumulator, revisited across the minor (S-chunk) grid dim;
+    dshift_ref (if has_shift): [1, St, nB*C].
     """
+    if has_shift:
+        shift_ref, gctx_ref, idx_ref, dpacked_ref, dshift_ref = rest
+        shift = shift_ref[0]
+    else:
+        gctx_ref, idx_ref, dpacked_ref = rest
     _, St, K, W = g_ref.shape
     Npad = dpacked_ref.shape[1]
     s_chunk = pl.program_id(1)
 
     G = g_ref[0].astype(jnp.float32)
-    shift = shift_ref[0]
     gctx = gctx_ref[0].astype(jnp.float32)
     douts, dshifts = [], []
     for r in range(n_branches):
         E = G[:, :, 2 * r * c : (2 * r + 1) * c]
         V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
-        s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
-        V = V + jnp.expand_dims(s, 1)
+        if has_shift:
+            s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
+            V = V + jnp.expand_dims(s, 1)
         dE, dV = _attn_math(E, V, gctx[:, r * c : (r + 1) * c])
         douts += [dE, dV]
-        dshifts.append(jnp.sum(dV, axis=-2))
+        if has_shift:
+            dshifts.append(jnp.sum(dV, axis=-2))
     dG = jnp.concatenate(douts, axis=-1).reshape(St * K, W)
-    dshift_ref[0] = jnp.concatenate(dshifts, axis=-1).astype(dshift_ref.dtype)
+    if has_shift:
+        dshift_ref[0] = jnp.concatenate(dshifts, axis=-1).astype(dshift_ref.dtype)
 
     @pl.when(s_chunk == 0)
     def _():
@@ -189,49 +186,25 @@ def _fwd_pallas(G, shifts, n_branches: int, c: int):
     Sp = _round_up(S, St)
     if Sp != S:
         G = jnp.pad(G, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
-        shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
-    kern = functools.partial(_fwd_kernel, n_branches=n_branches, c=c)
+        if shifts is not None:
+            shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
+    has_shift = shifts is not None
+    kern = functools.partial(
+        _fwd_kernel, n_branches=n_branches, c=c, has_shift=has_shift
+    )
+    shift_spec = pl.BlockSpec(
+        (1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
+    )
     ctx = pl.pallas_call(
         kern,
         grid=(B, Sp // St),
         in_specs=[
             pl.BlockSpec((1, St, K, W), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + ([shift_spec] if has_shift else []),
         out_specs=pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Sp, n_branches * c), G.dtype),
-    )(G, shifts)
+    )(G, *((shifts,) if has_shift else ()))
     return ctx[:, :S]
-
-
-@functools.partial(jax.jit, static_argnames=("n_branches", "c"))
-def _bwd_pallas(G, shifts, gctx, n_branches: int, c: int):
-    B, S, K, W = G.shape
-    St = _pick_tile(S, K, W)
-    Sp = _round_up(S, St)
-    if Sp != S:
-        G = jnp.pad(G, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
-        shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
-        gctx = jnp.pad(gctx, ((0, 0), (0, Sp - S), (0, 0)))
-    kern = functools.partial(_bwd_kernel, n_branches=n_branches, c=c)
-    dG, dshift = pl.pallas_call(
-        kern,
-        grid=(B, Sp // St),
-        in_specs=[
-            pl.BlockSpec((1, St, K, W), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, St, K, W), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Sp, K, W), G.dtype),
-            jax.ShapeDtypeStruct((B, Sp, n_branches * c), G.dtype),
-        ),
-    )(G, shifts, gctx)
-    return dG[:, :S], dshift[:, :S]
 
 
 @functools.partial(jax.jit, static_argnames=("n_points", "n_branches", "c"))
@@ -253,36 +226,49 @@ def _bwd_scatter_pallas(G, shifts, gctx, idx, n_points: int, n_branches: int, c:
     St = 1 << (bound.bit_length() - 1)
     St = min(St, _round_up(S, 8))
     Sp = _round_up(S, St)
+    has_shift = shifts is not None
     if Sp != S:
         G = jnp.pad(G, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
-        shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
+        if has_shift:
+            shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
         gctx = jnp.pad(gctx, ((0, 0), (0, Sp - S), (0, 0)))
         # padded rows must claim no target node
         idx = jnp.pad(idx, ((0, 0), (0, Sp - S), (0, 0)), constant_values=Npad + 1)
     idx_flat = idx.astype(jnp.int32).reshape(B, Sp * K, 1)
     kern = functools.partial(
         _bwd_scatter_kernel, n_branches=n_branches, c=c,
-        precision=GRAD_SCATTER_PRECISION,
+        precision=GRAD_SCATTER_PRECISION, has_shift=has_shift,
     )
-    dpacked, dshift = pl.pallas_call(
+    vec_spec = pl.BlockSpec(
+        (1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
         kern,
         grid=(B, Sp // St),
         in_specs=[
             pl.BlockSpec((1, St, K, W), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        ]
+        + ([vec_spec] if has_shift else [])
+        + [
+            vec_spec,
             pl.BlockSpec((1, St * K, 1), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, Npad, W), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        )
+        + ((vec_spec,) if has_shift else ()),
+        out_shape=(jax.ShapeDtypeStruct((B, Npad, W), jnp.float32),)
+        + (
+            (jax.ShapeDtypeStruct((B, Sp, n_branches * c), G.dtype),)
+            if has_shift
+            else ()
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Npad, W), jnp.float32),
-            jax.ShapeDtypeStruct((B, Sp, n_branches * c), G.dtype),
-        ),
-    )(G, shifts, gctx, idx_flat)
-    return dpacked[:, :n_points], dshift[:, :S]
+    )(G, *((shifts,) if has_shift else ()), gctx, idx_flat)
+    if has_shift:
+        dpacked, dshift = outs
+        return dpacked[:, :n_points], dshift[:, :S]
+    (dpacked,) = outs
+    return dpacked[:, :n_points], None
 
 
 def _gather(packed, idx):
@@ -298,12 +284,14 @@ def _xla_reference(packed, idx, shifts, n_branches: int, c: int):
     """Identical math in plain jnp (CPU path + CI oracle). Like the kernel,
     internal math runs in f32 (bf16 storage dtypes upcast per-branch)."""
     G = _gather(packed, idx).astype(jnp.float32)
-    shifts = shifts.astype(jnp.float32)
+    if shifts is not None:
+        shifts = shifts.astype(jnp.float32)
     outs = []
     for r in range(n_branches):
         E = G[..., 2 * r * c : (2 * r + 1) * c]
         V = G[..., (2 * r + 1) * c : (2 * r + 2) * c]
-        V = V + shifts[:, :, None, r * c : (r + 1) * c]
+        if shifts is not None:
+            V = V + shifts[:, :, None, r * c : (r + 1) * c]
         denom = jnp.sum(E, axis=2, keepdims=True)
         attn = E / jnp.maximum(denom, _EPS) - 1.0
         outs.append(jnp.max(attn * V, axis=2))
@@ -348,15 +336,13 @@ def transition_attention(
         their K-sum only guards underflow, not sign.
       idx: ``[B, S, K]`` shared neighbour indices into the N axis.
       shifts: ``[B, S, n_branches*C]`` per-query additive value shifts
-        (the xyz-mode ``b_v - v(center)`` fold), or None for all-zero.
+        (the xyz-mode ``b_v - v(center)`` fold), or None — a None shift is
+        dropped from the kernels entirely (no zeros tensor, no per-edge add,
+        no dshift output), the common single-branch feature-mode call.
       n_branches / c: static branch count and per-branch channel width.
 
     Returns ``[B, S, n_branches*C]`` contexts (branch-concatenated).
     """
-    if shifts is None:
-        shifts = jnp.zeros(
-            (packed.shape[0], idx.shape[1], n_branches * c), packed.dtype
-        )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:

@@ -28,7 +28,38 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _knn_kernel(base_ref, query_ref, idx_ref, *, k: int, n_valid: int):
+# Distance-matmul precision. 'hilo3' splits each f32 operand into a bf16 hi
+# part and a bf16 residual and takes hi*hi + hi*lo + lo*hi — 3 MXU passes with
+# ~2^-16 relative error on the cross term (the lo*lo term it drops is ~2^-24,
+# f32-mantissa level), vs 6 passes for exact HIGHEST. Measured on v5e at the
+# part-seg hot scale (B16, S=N=2048, C=256): 12% faster per call with 7e-5 of
+# neighbour selections flipping, all on near-exact distance ties. 'highest'
+# restores the bit-exact selection (Mosaic has no native HIGH).
+DIST_MATMUL_PRECISION = "hilo3"
+
+
+def _cross_matmul(q, b, precision: str):
+    """q [Sq, C] . b^T [C, Npad] -> [Sq, Npad] f32."""
+    dn = (((1,), (1,)), ((), ()))
+    if precision == "highest":
+        return jax.lax.dot_general(
+            q, b, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    qh = q.astype(jnp.bfloat16)
+    ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    return (
+        jax.lax.dot_general(qh, bh, dimension_numbers=dn, preferred_element_type=f32)
+        + jax.lax.dot_general(qh, bl, dimension_numbers=dn, preferred_element_type=f32)
+        + jax.lax.dot_general(ql, bh, dimension_numbers=dn, preferred_element_type=f32)
+    )
+
+
+def _knn_kernel(base_ref, query_ref, idx_ref, *, k: int, n_valid: int, precision: str):
     """base_ref: [1, Npad, C]; query_ref: [1, Sq, C]; idx_ref: [1, Sq, k]."""
     _, Npad, C = base_ref.shape
     _, Sq, _ = query_ref.shape
@@ -36,11 +67,7 @@ def _knn_kernel(base_ref, query_ref, idx_ref, *, k: int, n_valid: int):
     q = query_ref[0, :, :]
 
     # Distance tile on the MXU: ||q||^2 + ||b||^2 - 2 q b^T.
-    cross = jax.lax.dot_general(
-        q, b, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # bf16 MXU passes swap near-ties
-    )  # [Sq, Npad]
+    cross = _cross_matmul(q, b, precision)  # [Sq, Npad]
     q2 = jnp.sum(q * q, axis=1, keepdims=True)  # [Sq, 1]
     b2 = jnp.sum(b * b, axis=1, keepdims=True).reshape(1, Npad)
     d = q2 + b2 - 2.0 * cross
@@ -71,13 +98,18 @@ def _knn_kernel(base_ref, query_ref, idx_ref, *, k: int, n_valid: int):
     idx_ref[0, :, :] = carry[1]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "s_tile"))
+@functools.partial(jax.jit, static_argnames=("k", "s_tile", "precision"))
 def knn_indices_pallas(
-    k: int, base: jnp.ndarray, query: jnp.ndarray, s_tile: int = 0
+    k: int,
+    base: jnp.ndarray,
+    query: jnp.ndarray,
+    s_tile: int = 0,
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Exact k-smallest-distance indices. base ``[B, N, C]``, query
     ``[B, S, C]`` -> ``[B, S, k]`` int32 (ascending distance, ties by lowest
-    index — identical to lax.top_k ordering)."""
+    index — identical to lax.top_k ordering up to DIST_MATMUL_PRECISION;
+    pass precision='highest' for bit-exact parity runs)."""
     B, N, C = base.shape
     S = query.shape[1]
     Npad = _round_up(N, 128)
@@ -95,7 +127,10 @@ def knn_indices_pallas(
     if Spad != S:
         queryp = jnp.pad(queryp, ((0, 0), (0, Spad - S), (0, 0)))
 
-    kernel = functools.partial(_knn_kernel, k=k, n_valid=N)
+    kernel = functools.partial(
+        _knn_kernel, k=k, n_valid=N,
+        precision=precision or DIST_MATMUL_PRECISION,
+    )
     out = pl.pallas_call(
         kernel,
         grid=(B, Spad // Sq),
