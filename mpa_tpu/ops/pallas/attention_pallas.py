@@ -48,6 +48,56 @@ _EPS = 1e-20
 # ~fp32-exact gradients).
 GRAD_SCATTER_PRECISION = "bf16"
 
+# In-kernel one-hot gather precision on the small-N path: 'hilo3' is an
+# exact 3-way bf16 split (bit-identical to an f32 row gather, see _split3);
+# 'bf16' is one MXU pass with the gathered VALUES rounded to bf16.
+GATHER_PRECISION = "hilo3"
+
+# Node arrays at or below this size take the fully fused small-N path: the
+# [N, W] packed slab rides in VMEM and the gather happens IN-KERNEL as an
+# exact 3-way bf16-split one-hot matmul, so the [B, S, K, W] edge tensor
+# never exists in HBM in either direction. Above it, the XLA row gather is
+# cheaper than the one-hot's E*N*W MXU cost (measured crossover on v5e
+# between N=512 and N=1024 at the model's widths).
+SMALL_N_THRESHOLD = 512
+
+
+def _split3(x):
+    """Exact 3-way bf16 split of f32 ``x``: hi + mid + lo == x bit-for-bit
+    (24 mantissa bits in 3x8; exact barring subnormal underflow). Each part
+    multiplies an exact 0/1 bf16 mask on the MXU with f32 accumulation, so a
+    3-pass one-hot matmul reproduces an f32 gather exactly."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot_parts(idx_flat, n, out_dtype):
+    """idx_flat [R, 1] int32 -> one-hot mask [R, n]."""
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (idx_flat.shape[0], n), 1)
+    return (idx_flat == n_ids).astype(out_dtype)
+
+
+def _mask_gather(mask_bf16, slab, precision):
+    """Gather slab rows through a one-hot mask: [R, N] @ [N, W] -> [R, W] f32.
+    'hilo3' = exact f32; 'bf16' = values rounded to bf16 (one pass)."""
+    dn = (((1,), (0,)), ((), ()))
+    if precision == "bf16":
+        return jax.lax.dot_general(
+            mask_bf16, slab.astype(jnp.bfloat16),
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+    out = None
+    for part in _split3(slab):
+        t = jax.lax.dot_general(
+            mask_bf16, part, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        out = t if out is None else out + t
+    return out
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -169,6 +219,189 @@ def _bwd_scatter_kernel(
             mask, dG - hi, dimension_numbers=dn, preferred_element_type=jnp.float32
         )
     dpacked_ref[0] += acc
+
+
+def _fused_small_fwd_kernel(
+    packed_ref, idx_ref, *rest, n_branches: int, c: int, has_shift: bool,
+    gather_precision: str,
+):
+    """Small-N fused forward: packed_ref [1, Npad, W] whole slab;
+    idx_ref [1, St*K, 1] (local == global); ctx [1, St, nB*C]."""
+    if has_shift:
+        shift_ref, ctx_ref = rest
+        shift = shift_ref[0]
+    else:
+        (ctx_ref,) = rest
+    _, Npad, W = packed_ref.shape
+    St = ctx_ref.shape[1]
+    K = idx_ref.shape[1] // St
+    slab = packed_ref[0].astype(jnp.float32)
+    mask = _onehot_parts(idx_ref[0], Npad, jnp.bfloat16)  # [St*K, Npad]
+    G = _mask_gather(mask, slab, gather_precision).reshape(St, K, W)
+    outs = []
+    for r in range(n_branches):
+        E = G[:, :, 2 * r * c : (2 * r + 1) * c]
+        V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
+        if has_shift:
+            s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
+            V = V + jnp.expand_dims(s, 1)
+        outs.append(_attn_math(E, V))
+    ctx_ref[0] = jnp.concatenate(outs, axis=-1).astype(ctx_ref.dtype)
+
+
+def _fused_small_bwd_kernel(
+    packed_ref, idx_ref, *rest, n_branches: int, c: int, has_shift: bool,
+    gather_precision: str, scatter_precision: str,
+):
+    """Small-N fused backward: recompute the in-VMEM gather + attention
+    gradients, then scatter dG into the [Npad, W] accumulator through the
+    SAME one-hot mask transposed. The edge tensor exists only in VMEM."""
+    if has_shift:
+        shift_ref, gctx_ref, dpacked_ref, dshift_ref = rest
+        shift = shift_ref[0]
+    else:
+        gctx_ref, dpacked_ref = rest
+    _, Npad, W = packed_ref.shape
+    St = gctx_ref.shape[1]
+    K = idx_ref.shape[1] // St
+    s_chunk = pl.program_id(1)
+
+    slab = packed_ref[0].astype(jnp.float32)
+    mask = _onehot_parts(idx_ref[0], Npad, jnp.bfloat16)
+    G = _mask_gather(mask, slab, gather_precision).reshape(St, K, W)
+    gctx = gctx_ref[0].astype(jnp.float32)
+    douts, dshifts = [], []
+    for r in range(n_branches):
+        E = G[:, :, 2 * r * c : (2 * r + 1) * c]
+        V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
+        if has_shift:
+            s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
+            V = V + jnp.expand_dims(s, 1)
+        dE, dV = _attn_math(E, V, gctx[:, r * c : (r + 1) * c])
+        douts += [dE, dV]
+        if has_shift:
+            dshifts.append(jnp.sum(dV, axis=-2))
+    dG = jnp.concatenate(douts, axis=-1).reshape(St * K, W)
+    if has_shift:
+        dshift_ref[0] = jnp.concatenate(dshifts, axis=-1).astype(dshift_ref.dtype)
+
+    @pl.when(s_chunk == 0)
+    def _():
+        dpacked_ref[0] = jnp.zeros((Npad, W), jnp.float32)
+
+    dn = (((0,), (0,)), ((), ()))
+    if scatter_precision == "bf16":
+        acc = jax.lax.dot_general(
+            mask, dG.astype(jnp.bfloat16),
+            dimension_numbers=dn, preferred_element_type=jnp.float32,
+        )
+    else:
+        hi = dG.astype(jnp.bfloat16).astype(jnp.float32)
+        acc = jax.lax.dot_general(
+            mask, hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            mask, dG - hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+    dpacked_ref[0] += acc
+
+
+def _pick_small_tile(N: int, K: int, W: int) -> int:
+    # live per-row: the [K, Npad] bf16 mask row + ~8 [K, W] f32 temporaries;
+    # fixed: the f32 slab + its 3 bf16 splits + the [Npad, W] accumulator.
+    fixed = N * W * (4 + 3 * 2 + 4)
+    budget = 10 * 1024 * 1024 - fixed
+    per_row = K * (N * 2 + W * 4 * 8)
+    st = max(8, min(512, budget // per_row // 8 * 8))
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("n_branches", "c"))
+def _fused_small_fwd(packed, idx, shifts, n_branches: int, c: int):
+    B, N, W = packed.shape
+    S, K = idx.shape[1], idx.shape[2]
+    Npad = _round_up(N, 128)
+    if Npad != N:
+        packed = jnp.pad(packed, ((0, 0), (0, Npad - N), (0, 0)))
+    St = min(_pick_small_tile(Npad, K, W), _round_up(S, 8))
+    Sp = _round_up(S, St)
+    has_shift = shifts is not None
+    if Sp != S:
+        idx = jnp.pad(idx, ((0, 0), (0, Sp - S), (0, 0)))
+        if has_shift:
+            shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
+    idx_flat = idx.astype(jnp.int32).reshape(B, Sp * K, 1)
+    kern = functools.partial(
+        _fused_small_fwd_kernel, n_branches=n_branches, c=c,
+        has_shift=has_shift, gather_precision=GATHER_PRECISION,
+    )
+    vec_spec = pl.BlockSpec(
+        (1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
+    )
+    ctx = pl.pallas_call(
+        kern,
+        grid=(B, Sp // St),
+        in_specs=[
+            pl.BlockSpec((1, Npad, W), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, St * K, 1), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        ]
+        + ([vec_spec] if has_shift else []),
+        out_specs=vec_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Sp, n_branches * c), packed.dtype),
+    )(packed, idx_flat, *((shifts,) if has_shift else ()))
+    return ctx[:, :S]
+
+
+@functools.partial(jax.jit, static_argnames=("n_branches", "c"))
+def _fused_small_bwd(packed, idx, shifts, gctx, n_branches: int, c: int):
+    B, N, W = packed.shape
+    S, K = idx.shape[1], idx.shape[2]
+    Npad = _round_up(N, 128)
+    if Npad != N:
+        packed = jnp.pad(packed, ((0, 0), (0, Npad - N), (0, 0)))
+    St = min(_pick_small_tile(Npad, K, W), _round_up(S, 8))
+    Sp = _round_up(S, St)
+    has_shift = shifts is not None
+    if Sp != S:
+        # padded rows must gather real rows (any) but contribute nothing:
+        # their gctx is zero, so dG rows are zero and the scatter adds zero.
+        idx = jnp.pad(idx, ((0, 0), (0, Sp - S), (0, 0)))
+        gctx = jnp.pad(gctx, ((0, 0), (0, Sp - S), (0, 0)))
+        if has_shift:
+            shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
+    idx_flat = idx.astype(jnp.int32).reshape(B, Sp * K, 1)
+    kern = functools.partial(
+        _fused_small_bwd_kernel, n_branches=n_branches, c=c,
+        has_shift=has_shift, gather_precision=GATHER_PRECISION,
+        scatter_precision=GRAD_SCATTER_PRECISION,
+    )
+    vec_spec = pl.BlockSpec(
+        (1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(B, Sp // St),
+        in_specs=[
+            pl.BlockSpec((1, Npad, W), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, St * K, 1), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        ]
+        + ([vec_spec] if has_shift else [])
+        + [vec_spec],
+        out_specs=(
+            pl.BlockSpec((1, Npad, W), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        )
+        + ((vec_spec,) if has_shift else ()),
+        out_shape=(jax.ShapeDtypeStruct((B, Npad, W), jnp.float32),)
+        + (
+            (jax.ShapeDtypeStruct((B, Sp, n_branches * c), packed.dtype),)
+            if has_shift
+            else ()
+        ),
+    )(packed, idx_flat, *((shifts,) if has_shift else ()), gctx)
+    if has_shift:
+        dpacked, dshift = outs
+        return dpacked[:, :N], dshift[:, :S]
+    (dpacked,) = outs
+    return dpacked[:, :N], None
 
 
 def _pick_tile(S: int, K: int, W: int) -> int:
@@ -298,20 +531,36 @@ def _xla_reference(packed, idx, shifts, n_branches: int, c: int):
     return jnp.concatenate(outs, axis=-1).astype(packed.dtype)
 
 
+def _use_small_path(packed) -> bool:
+    return packed.shape[1] <= SMALL_N_THRESHOLD
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention_pallas(packed, idx, shifts, n_branches: int, c: int):
+    if _use_small_path(packed):
+        return _fused_small_fwd(jax.lax.stop_gradient(packed), idx, shifts, n_branches, c)
     G = _gather(jax.lax.stop_gradient(packed), idx)
     return _fwd_pallas(G, shifts, n_branches, c)
 
 
 def _attention_fwd(packed, idx, shifts, n_branches: int, c: int):
+    if _use_small_path(packed):
+        # No edge-tensor residual: the backward re-gathers in VMEM.
+        ctx = _fused_small_fwd(packed, idx, shifts, n_branches, c)
+        return ctx, (packed, idx, shifts, None)
     G = _gather(packed, idx)
-    return _fwd_pallas(G, shifts, n_branches, c), (G, idx, shifts, packed.shape[1])
+    # n_points rides on packed's static shape; XLA DCEs the values.
+    return _fwd_pallas(G, shifts, n_branches, c), (packed, idx, shifts, G)
 
 
 def _attention_bwd(n_branches: int, c: int, res, g):
-    G, idx, shifts, n_points = res
-    dpacked, dshift = _bwd_scatter_pallas(G, shifts, g, idx, n_points, n_branches, c)
+    packed, idx, shifts, G = res
+    if G is None:
+        dpacked, dshift = _fused_small_bwd(packed, idx, shifts, g, n_branches, c)
+        return dpacked.astype(packed.dtype), None, dshift
+    dpacked, dshift = _bwd_scatter_pallas(
+        G, shifts, g, idx, packed.shape[1], n_branches, c
+    )
     return dpacked.astype(G.dtype), None, dshift
 
 

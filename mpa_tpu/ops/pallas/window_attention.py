@@ -1,0 +1,218 @@
+"""Windowed (locality-banded) kNN + fused transition attention.
+
+The exact path (ops/pallas/attention_pallas.py) gathers K arbitrary node rows
+per query through XLA's row gather and scatters gradients back through a
+full-width one-hot matmul. Profiled on v5e, those two ops are ~55% of both
+headline train steps, and both are within ~2x of their formulation's hardware
+floor — the remaining factor is STRUCTURAL: an arbitrary index can land
+anywhere in ``[0, N)``, so the gather pays per-row DMA cost and the scatter
+pays a ``[edges, N]`` mask matmul.
+
+This module removes the arbitrariness instead of the op: if every scale's
+point array is kept in Morton order (ops/morton.py), a query's k nearest
+neighbours live in a narrow, statically addressable index band. Both the kNN
+search and the attention gather/scatter then work on a per-chunk 2-block
+window whose position is a pure function of the grid index:
+
+- queries are padded by half a chunk so each padded chunk is CENTERED on its
+  window (front/back pad rows carry an out-of-window sentinel index and
+  contribute nothing);
+- chunk ``c`` of ``sq`` queries sees node rows ``[g*bn, g*bn + 2*bn)`` with
+  ``g = clamp(c-1, 0, n_blocks-2)`` — two consecutive ``bn``-blocks, fetched
+  as two block operands (Pallas block indices are block-aligned; the overlap
+  between neighbouring windows comes from ``g`` advancing by one block per
+  chunk);
+- the kNN kernel searches EXACTLY this window, so the attention kernels'
+  banded one-hot gather/scatter are in-bounds by construction;
+- the backward scatter accumulates into two ``[bn, W]`` output blocks whose
+  revisit pattern is consecutive in the grid (block ``j`` is visited by
+  chunks ``j`` and ``j+1`` back-to-back), which is the Pallas accumulation
+  contract.
+
+Semantics: "k nearest within the Morton window" — an approximation of exact
+kNN that is exact only when the true neighbours fall inside the window.
+Measured neighbour-set agreement with exact kNN on Morton-sorted clouds at
+N=2048 / window=256 (12.5%): ~80% on surface-like clouds (box surface,
+sphere), ~60-70% on volumetric ones; a Hilbert order buys only a few points
+more (a 1D curve window covers a snake-shaped region, not the compact disk a
+kNN neighbourhood needs). That gap makes this UNSUITABLE as a drop-in
+replacement for the reference models' exact kNN; it is kept as an opt-in
+scalability primitive for large-scene workloads (S3DIS blocks and beyond),
+where windowed neighbourhoods are a standard, documented approximation and
+the O(S*window) cost replaces O(S*N). The exact models never call into this
+module. (For the exact path's equivalent optimization, see the fused
+small-N in-VMEM gather in attention_pallas.py — bit-exact, and chosen per
+scale by a measured crossover.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpa_tpu.ops.pallas.knn_pallas import _cross_matmul
+
+_EPS = 1e-20  # matches attention_pallas._EPS
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowSpec:
+    """Banding contract shared by the kNN and attention kernels.
+
+    S queries / N nodes, both Morton-ordered. ``n_chunks`` original chunks of
+    ``sq`` queries; nodes split into ``n_chunks`` blocks of ``bn``. Queries
+    are padded front+back by ``sq//2`` (``n_chunks+1`` padded chunks); padded
+    chunk ``c`` covers original rows ``[c*sq - sq//2, c*sq + sq//2)`` and its
+    window is node blocks ``{g, g+1}``, ``g = clamp(c-1, 0, n_chunks-2)``.
+    """
+
+    S: int
+    N: int
+    sq: int
+    bn: int
+    n_chunks: int
+
+    @property
+    def window(self) -> int:
+        return 2 * self.bn
+
+    @property
+    def pad(self) -> int:
+        return self.sq // 2
+
+    def block_g(self, c):
+        """First window block for padded chunk ``c`` (jnp or python int)."""
+        return jnp.clip(c - 1, 0, self.n_chunks - 2)
+
+
+def make_window_spec(S: int, N: int, sq: int = 128) -> WindowSpec:
+    """Pick a spec for S queries over N nodes. Requires the model's usual
+    power-of-two scales (S % sq == 0, N % n_chunks == 0, >= 2 chunks)."""
+    sq = min(sq, S // 2)
+    if S % sq:
+        raise ValueError(f"S={S} not divisible by sq={sq}")
+    n_chunks = S // sq
+    if n_chunks < 2:
+        raise ValueError(f"need >= 2 chunks (S={S}, sq={sq})")
+    if N % n_chunks:
+        raise ValueError(f"N={N} not divisible by n_chunks={n_chunks}")
+    bn = N // n_chunks
+    if bn % 8 or sq % 8:
+        raise ValueError(f"bn={bn} and sq={sq} must be multiples of 8")
+    return WindowSpec(S=S, N=N, sq=sq, bn=bn, n_chunks=n_chunks)
+
+
+def _pad_queries(x: jnp.ndarray, spec: WindowSpec, value=0) -> jnp.ndarray:
+    p = spec.pad
+    return jnp.pad(
+        x, ((0, 0), (p, p)) + ((0, 0),) * (x.ndim - 2), constant_values=value
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed kNN
+# ---------------------------------------------------------------------------
+
+
+def _wknn_kernel(
+    nodeA_ref, nodeB_ref, query_ref, idx_ref, *, k: int, spec: WindowSpec,
+    precision: str,
+):
+    """nodeA/B: [1, bn, C] window blocks; query: [1, sq, C] padded chunk;
+    idx out: [1, sq, k] GLOBAL node indices."""
+    c = pl.program_id(1)
+    win0 = spec.block_g(c) * spec.bn
+    band = jnp.concatenate([nodeA_ref[0], nodeB_ref[0]], axis=0)  # [2bn, C]
+    q = query_ref[0]
+    W = spec.window
+    Sq = q.shape[0]
+
+    cross = _cross_matmul(q, band, precision)  # [sq, 2bn]
+    q2 = jnp.sum(q * q, axis=1, keepdims=True)
+    b2 = jnp.sum(band * band, axis=1, keepdims=True).reshape(1, W)
+    d = q2 + b2 - 2.0 * cross
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Sq, W), 1)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (Sq, k), 1)
+    cur = d
+    sel = jnp.zeros((Sq, k), jnp.int32)
+    for j in range(k):
+        m = jnp.min(cur, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(cur == m, lane, W), axis=1, keepdims=True)
+        cur = jnp.where(lane == i, jnp.inf, cur)
+        sel = jnp.where(out_lane == j, i.astype(jnp.int32), sel)
+    idx_ref[0] = sel + win0
+
+
+@functools.partial(jax.jit, static_argnames=("k", "spec", "precision"))
+def windowed_knn_indices(
+    k: int,
+    base: jnp.ndarray,
+    query: jnp.ndarray,
+    spec: WindowSpec,
+    precision: str = "hilo3",
+) -> jnp.ndarray:
+    """k nearest (ascending, ties by lowest index) among the query chunk's
+    Morton window. base ``[B, N, C]``, query ``[B, S, C]`` -> ``[B, S, k]``
+    global int32 indices. Both arrays must be Morton-ordered."""
+    B, N, C = base.shape
+    S = query.shape[1]
+    assert (S, N) == (spec.S, spec.N), (S, N, spec)
+    qp = _pad_queries(query.astype(jnp.float32), spec)
+    kern = functools.partial(_wknn_kernel, k=k, spec=spec, precision=precision)
+    nodes = base.astype(jnp.float32)
+    idx = pl.pallas_call(
+        kern,
+        grid=(B, spec.n_chunks + 1),
+        in_specs=[
+            pl.BlockSpec(
+                (1, spec.bn, C),
+                lambda b, c: (b, spec.block_g(c), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, spec.bn, C),
+                lambda b, c: (b, spec.block_g(c) + 1, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, spec.sq, C), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, spec.sq, k), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S + 2 * spec.pad, k), jnp.int32),
+    )(nodes, nodes, qp)
+    return idx[:, spec.pad : spec.pad + S]
+
+
+def windowed_knn_reference(
+    k: int, base: jnp.ndarray, query: jnp.ndarray, spec: WindowSpec
+) -> jnp.ndarray:
+    """jnp oracle of the windowed-kNN semantics (CPU path + CI)."""
+    B, N, _ = base.shape
+    S = query.shape[1]
+    d = (
+        jnp.sum(query**2, -1)[:, :, None]
+        + jnp.sum(base**2, -1)[:, None, :]
+        - 2.0
+        * jnp.einsum(
+            "bsc,bnc->bsn", query, base, precision=jax.lax.Precision.HIGHEST
+        )
+    )
+    # padded-chunk of original row s: c = (s + pad) // sq
+    s_ids = jnp.arange(S)
+    g = jnp.clip((s_ids + spec.pad) // spec.sq - 1, 0, spec.n_chunks - 2)
+    win0 = (g * spec.bn)[None, :, None]  # [1, S, 1]
+    n_ids = jnp.arange(N)[None, None, :]
+    inside = (n_ids >= win0) & (n_ids < win0 + spec.window)
+    d = jnp.where(inside, d, jnp.inf)
+    _, idx = jax.lax.top_k(-d, k)
+    return idx.astype(jnp.int32)

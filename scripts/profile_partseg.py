@@ -1,12 +1,11 @@
 """Op-level profile of the part-seg train step on the real chip.
 
-Captures a jax.profiler trace of a few steady-state steps and prints the
-per-HLO-op time breakdown (via tensorboard_plugin_profile's xplane parser),
-grouped by op category. Run: cd /root/repo && python scripts/profile_partseg.py
+Captures a jax.profiler trace of steady-state steps and prints per-op and
+per-category self-time breakdowns via mpa_tpu.utils.profiling (self-contained
+xplane parsing — the image's tensorboard_plugin_profile is unusable).
+Run: cd /root/repo && python scripts/profile_partseg.py [markov_partseg]
 """
 
-import glob
-import json
 import os
 import sys
 
@@ -15,62 +14,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+STEPS = 10
+
 
 def main():
     from mpa_tpu.models import get_model
     from mpa_tpu import train as tr
+    from mpa_tpu.utils import profiling
 
-    B, N = 16, 2048
-    model = get_model("markov_partseg")
-    pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
-    onehot = jax.nn.one_hot(jax.random.randint(jax.random.key(1), (B,), 0, 16), 16)
-    segs = jax.random.randint(jax.random.key(2), (B, N), 0, 50)
-    tx = tr.make_optimizer("sgd", 0.1, weight_decay=1e-4, momentum=0.9)
-    state = tr.create_train_state(model, jax.random.key(3), (pts[:2], onehot[:2]), tx)
-    loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, 0.1)
-    step = jax.jit(tr.make_train_step(loss_fn), donate_argnums=(0,))
-    args = ((pts, onehot), segs, jax.random.key(4))
+    name = sys.argv[1] if len(sys.argv) > 1 else "markov_partseg"
+    if name == "markov_cls":
+        B, N = 64, 1024
+        model = get_model("markov_cls", num_classes=15)
+        pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
+        labels = jax.random.randint(jax.random.key(1), (B,), 0, 15)
+        tx = tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4)
+        state = tr.create_train_state(model, jax.random.key(2), pts[:2], tx)
+        step = jax.jit(tr.make_train_step(tr.smooth_cls_loss), donate_argnums=(0,))
+        args = (pts, labels, jax.random.key(3))
+    else:
+        B, N = 16, 2048
+        model = get_model(name)
+        pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
+        onehot = jax.nn.one_hot(jax.random.randint(jax.random.key(1), (B,), 0, 16), 16)
+        segs = jax.random.randint(jax.random.key(2), (B, N), 0, 50)
+        tx = tr.make_optimizer("sgd", 0.1, weight_decay=1e-4, momentum=0.9)
+        state = tr.create_train_state(model, jax.random.key(3), (pts[:2], onehot[:2]), tx)
+        loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, 0.1)
+        step = jax.jit(tr.make_train_step(loss_fn), donate_argnums=(0,))
+        args = ((pts, onehot), segs, jax.random.key(4))
 
     for _ in range(5):
         state, loss = step(state, *args)
     float(loss)
 
-    logdir = "/tmp/partseg_trace"
+    logdir = "/tmp/mpa_profile"
     os.system(f"rm -rf {logdir}")
     with jax.profiler.trace(logdir):
-        for _ in range(10):
+        for _ in range(STEPS):
             state, loss = step(state, *args)
         float(loss)
 
-    xplanes = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-    print("xplane files:", xplanes)
-    if not xplanes:
-        return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    total_ms, cats = profiling.category_breakdown(logdir)
+    print(f"\n== {name}: {total_ms / STEPS:.2f} ms/step device time, by category ==")
+    for c in cats[:15]:
+        print(f"{c['ms']/STEPS:8.3f} ms/step  n={c['count']//STEPS:5d}  {c['category']}")
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats", {"tqx": "out:json;"}
-    )
-    if isinstance(data, bytes):
-        data = data.decode()
-    stats = json.loads(data)
-    rows = stats.get("table", stats).get("rows", [])
-    cols = [c["label"] for c in stats.get("table", stats).get("cols", [])]
-    print("cols:", cols)
-    # aggregate self-time by op type
-    import collections
-
-    agg = collections.Counter()
-    total = 0.0
-    for r in rows:
-        c = [x.get("v") for x in r["c"]]
-        row = dict(zip(cols, c))
-        t = float(row.get("Total self-time (us)", 0) or 0)
-        agg[row.get("Type", "?")] += t
-        total += t
-    print(f"total self time: {total/1e3:.2f} ms over 10 steps")
-    for op, t in agg.most_common(40):
-        print(f"{t/10/1e3:8.3f} ms/step  {100*t/total:5.1f}%  {op}")
+    _, rows = profiling.op_breakdown(logdir)
+    print("\n== top ops ==")
+    for r in rows[:15]:
+        src = r["source"].split("/")[-1]
+        print(f"{r['ms']/STEPS:8.3f} ms/step  n={r['count']//STEPS:3d}  {r['name'][:48]:48s} {src}")
 
 
 if __name__ == "__main__":

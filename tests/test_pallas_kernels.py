@@ -194,6 +194,17 @@ class TestGatherScatterAdd:
 
 
 class TestTransitionAttentionKernel:
+    @pytest.fixture(autouse=True, params=["small", "large"])
+    def _both_paths(self, request, monkeypatch):
+        """Run every attention test through BOTH dispatches: the fused
+        small-N path (in-VMEM one-hot gather) and the large path (XLA row
+        gather + fused backward scatter)."""
+        from mpa_tpu.ops.pallas import attention_pallas as AP
+
+        if request.param == "large":
+            monkeypatch.setattr(AP, "SMALL_N_THRESHOLD", 0)
+        yield
+
     def _case(self, B=2, N=100, S=37, K=8, C=16, nB=2, seed=0):
         from mpa_tpu.ops.pallas.attention_pallas import transition_attention
 

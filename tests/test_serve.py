@@ -1,0 +1,69 @@
+"""Serving export: StableHLO artifact round-trip equals live inference."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mpa_tpu.models import get_model
+from mpa_tpu import train as tr
+from mpa_tpu import serve
+
+
+def _tiny_cls_state():
+    model = get_model(
+        "markov_cls", num_classes=5, npoints=(16, 8), channels=(8, 8, 8)
+    )
+    pts = jax.random.normal(jax.random.key(0), (2, 32, 3), jnp.float32)
+    tx = tr.make_optimizer("adam-l2", 1e-3, weight_decay=0.0)
+    state = tr.create_train_state(model, jax.random.key(1), pts, tx)
+    return model, state, pts
+
+
+def test_export_roundtrip(tmp_path):
+    model, state, pts = _tiny_cls_state()
+    live = jax.jit(tr.make_eval_step())(state, pts)
+
+    exp = serve.export_inference(model, state.params, state.batch_stats, pts)
+    path = str(tmp_path / "cls.shlo")
+    serve.save_exported(exp, path, manifest={"model": "markov_cls"})
+
+    infer = serve.load_inference(path)
+    out = infer(pts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live), atol=1e-6)
+
+    import json, os
+
+    man = json.load(open(path + ".json"))
+    assert man["model"] == "markov_cls"
+    assert man["platforms"] and os.path.getsize(path) > 1000
+
+
+def test_exported_rejects_wrong_shape(tmp_path):
+    model, state, pts = _tiny_cls_state()
+    exp = serve.export_inference(model, state.params, state.batch_stats, pts)
+    path = str(tmp_path / "cls.shlo")
+    serve.save_exported(exp, path)
+    infer = serve.load_inference(path)
+    bad = jnp.zeros((2, 64, 3), jnp.float32)  # wrong N
+    try:
+        infer(bad)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "shape-specialized artifact must reject mismatched input"
+
+
+def test_export_cli(tmp_path):
+    """End-to-end: CLI exports a fresh-init cls model artifact."""
+    from mpa_tpu.cli import export as export_cli
+
+    out = str(tmp_path / "m.shlo")
+    export_cli.main([
+        "--preset", "scanobjectnn_cls", "--num_points", "64",
+        "--serve_batch", "2", "--out", out,
+    ])
+    infer = serve.load_inference(out)
+    logp = infer(jnp.zeros((2, 64, 3), jnp.float32))
+    assert logp.shape == (2, 15)
+    assert bool(jnp.isfinite(logp).all())

@@ -1,0 +1,109 @@
+"""Windowed (locality-banded) kNN + fused attention: kernel-vs-oracle parity
+on CPU (Pallas interpret mode), window-semantics properties, and gradient
+checks. See mpa_tpu/ops/pallas/window_attention.py."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from mpa_tpu.ops import morton
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+def _morton_cloud(b, n, seed=0):
+    """Random cloud, Morton-sorted (the mode's precondition)."""
+    pts = jnp.asarray(rng(seed).normal(size=(b, n, 3)).astype(np.float32))
+    out = morton.morton_sort(pts)
+    return out[0]
+
+
+class TestMorton:
+    def test_sort_improves_locality(self):
+        pts = jnp.asarray(rng(1).uniform(size=(2, 512, 3)).astype(np.float32))
+        srt, perm = morton.morton_sort(pts)
+        # mean distance between consecutive rows must shrink a lot
+        def mean_step(x):
+            return float(jnp.mean(jnp.linalg.norm(x[:, 1:] - x[:, :-1], axis=-1)))
+        assert mean_step(srt) < 0.5 * mean_step(pts)
+        # perm is a permutation; inverse restores
+        inv = jnp.argsort(perm, axis=-1)
+        back = jnp.take_along_axis(srt, inv[..., None], axis=1)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(pts))
+
+    def test_extras_sorted_consistently(self):
+        pts = jnp.asarray(rng(2).normal(size=(1, 64, 3)).astype(np.float32))
+        feat = jnp.asarray(rng(3).normal(size=(1, 64, 5)).astype(np.float32))
+        spts, sfeat, perm = morton.morton_sort(pts, feat)
+        np.testing.assert_allclose(
+            np.asarray(sfeat),
+            np.asarray(jnp.take_along_axis(feat, perm[..., None], axis=1)),
+        )
+
+
+class TestWindowedKnn:
+    @pytest.mark.parametrize("S,N,sq", [(128, 128, 32), (64, 128, 16), (128, 64, 32)])
+    def test_kernel_matches_oracle(self, S, N, sq):
+        from mpa_tpu.ops.pallas import window_attention as WA
+
+        spec = WA.make_window_spec(S, N, sq=sq)
+        # base/query = Morton-consistent stride subsamples of one fine cloud
+        # (how the model's scales relate after sorted-FPS).
+        M = max(S, N)
+        cloud = _morton_cloud(2, M, seed=10)
+        base = cloud[:, :: M // N]
+        query = cloud[:, :: M // S]
+        got = np.asarray(WA.windowed_knn_indices(4, base, query, spec))
+        want = np.asarray(WA.windowed_knn_reference(4, base, query, spec))
+        np.testing.assert_array_equal(got, want)
+
+    def test_window_locality_on_surface_cloud(self):
+        """Locality sanity (not a kernel test): on a Morton-sorted
+        surface-like cloud (the realistic shape for the target datasets) a
+        25%-of-N window should reproduce the majority of exact-kNN picks.
+        This quantifies the approximation the module docstring documents —
+        good enough for windowed large-scene modes, NOT a drop-in for exact
+        kNN (which is why the exact models never call this)."""
+        from mpa_tpu.ops.pallas import window_attention as WA
+        from mpa_tpu.ops.knn import knn
+
+        N = 512
+        r = rng(4)
+        face = r.integers(0, 6, N)
+        u, v = r.uniform(-1, 1, (2, N))
+        p = np.zeros((N, 3), np.float32)
+        for i in range(N):
+            ax = face[i] // 2
+            rest = [j for j in range(3) if j != ax]
+            p[i, ax] = face[i] % 2 * 2 - 1.0
+            p[i, rest[0]] = u[i]
+            p[i, rest[1]] = v[i]
+        base, _ = morton.morton_sort(jnp.asarray(p)[None])
+        spec = WA.make_window_spec(N, N, sq=64)
+        widx = np.asarray(WA.windowed_knn_reference(8, base, base, spec))
+        _, eidx = knn(8, base, base)
+        match = (np.sort(widx, -1) == np.sort(np.asarray(eidx), -1)).mean()
+        assert match > 0.6, f"windowed kNN only {match:.1%} == exact"
+
+    def test_global_indices_in_window(self):
+        from mpa_tpu.ops.pallas import window_attention as WA
+
+        S = N = 128
+        spec = WA.make_window_spec(S, N, sq=32)
+        base = _morton_cloud(1, N, seed=5)
+        idx = np.asarray(WA.windowed_knn_indices(4, base, base, spec))[0]
+        for s in range(S):
+            g = min(max((s + spec.pad) // spec.sq - 1, 0), spec.n_chunks - 2)
+            lo, hi = g * spec.bn, g * spec.bn + spec.window
+            assert (idx[s] >= lo).all() and (idx[s] < hi).all(), (s, lo, hi, idx[s])
