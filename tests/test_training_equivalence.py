@@ -129,3 +129,24 @@ class TestTrainingCurveEquivalence:
         assert want[-1] < want[0] - 0.2
         assert got[-1] < got[0] - 0.2
         assert abs((want[0] - want[-1]) - (got[0] - got[-1])) < 0.1
+
+    def test_bf16_curve_tracks_f32(self):
+        """Mixed precision (compute_dtype=bf16): training from the same
+        transplanted init on the same batches must track the f32 curve.
+        Backs the bench/README claim that the bf16 mode is usable for
+        training, via the same statistical criteria as the torch proxy
+        (bf16 rounding is ~30x the cross-framework fp noise, so the bounds
+        are proportionally looser but the same failure modes apply)."""
+        _, jmodel, variables = CLS.build_transplanted()
+        jmodel = jmodel.clone(dropout=0.0)
+        f32 = _train_jax(jmodel, variables)
+        b16 = _train_jax(jmodel.clone(compute_dtype=jnp.bfloat16), variables)
+
+        diff = np.abs(b16 - f32)
+        assert diff[0] < 0.05, f"step-0 loss mismatch: {b16[0]} vs {f32[0]}"
+        assert float(diff.mean()) < 0.3, f"bf16 curve diverges: {diff.round(3).tolist()}"
+        assert float(diff[-5:].mean()) < 0.25, (
+            f"bf16 plateau differs: {diff[-5:].round(3).tolist()}"
+        )
+        assert b16[-1] < b16[0] - 0.2, "bf16 run failed to train"
+        assert abs((f32[0] - f32[-1]) - (b16[0] - b16[-1])) < 0.3
