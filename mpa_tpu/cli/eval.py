@@ -42,6 +42,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     add_config_flags(parser, TrainConfig())
     parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--import_torch", type=str, default=None,
+                        help="reference best_model.pth to migrate and "
+                             "evaluate (utils/torch_import)")
     parser.add_argument("--num_repeat", type=int, default=1,
                         help="reference NUM_REPEAT (50 for the published number)")
     parser.add_argument("--platform", type=str, default=None)
@@ -67,7 +70,22 @@ def main(argv=None):
 
     tx = tr.make_optimizer("sgd", 0.0)
     state = tr.create_train_state(model, jax.random.key(0), example, tx)
-    if args.checkpoint:
+    if args.import_torch:
+        from mpa_tpu.utils.torch_import import import_reference_checkpoint
+
+        task = "partseg" if cfg.task == "partseg" else "cls"
+        template = {"params": state.params, "batch_stats": state.batch_stats}
+        variables, report = import_reference_checkpoint(
+            args.import_torch, task, template
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+        log.info(
+            f"imported torch checkpoint {args.import_torch} "
+            f"({len(report['skipped_torch_keys'])} dead/aux keys skipped)"
+        )
+    elif args.checkpoint:
         restored = BestCheckpointer(args.checkpoint).restore(state)
         if restored is None:
             raise SystemExit(f"no checkpoint under {args.checkpoint}")
