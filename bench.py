@@ -87,6 +87,45 @@ def bench_partseg():
     return best, median, dt, flops
 
 
+def bench_serve():
+    """Latency of the DEPLOYED artifact: export the cls model via jax.export,
+    reload it, and time single-batch inference (the serving path a user
+    ships, not the live training-session jit)."""
+    import tempfile
+
+    from mpa_tpu.models import get_model
+    from mpa_tpu import train as tr, serve
+
+    B, N = 8, 1024
+    model = get_model("markov_cls", num_classes=15)
+    pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
+    state = tr.create_train_state(
+        model, jax.random.key(1), pts[:2], tr.make_optimizer("sgd", 0.0)
+    )
+    with tempfile.TemporaryDirectory() as d:
+        exp = serve.export_inference(model, state.params, state.batch_stats, pts)
+        path = f"{d}/m.shlo"
+        serve.save_exported(exp, path)
+        infer = serve.load_inference(path)
+        for _ in range(5):
+            out = infer(pts)
+        float(out[0, 0])
+        times = []
+        for _ in range(40):
+            t0 = time.perf_counter()
+            out = infer(pts)
+            float(out[0, 0])  # host fence
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    return {
+        "batch": B,
+        "latency_ms_p50": round(p50 * 1e3, 2),
+        "latency_ms_p90": round(times[int(len(times) * 0.9)] * 1e3, 2),
+        "clouds_per_sec": round(B / p50, 1),
+    }
+
+
 def _flops(step, state, args):
     try:
         cost = step.lower(state, *args).compile().cost_analysis()
@@ -100,6 +139,10 @@ def _flops(step, state, args):
 def main():
     cls_best, cls_med, cls_dt, cls_flops = bench_cls()
     ps_best, ps_med, ps_dt, ps_flops = bench_partseg()
+    try:
+        serve_block = bench_serve()
+    except Exception as e:  # serving must never sink the primary metrics
+        serve_block = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     def block(best, med, dt, flops, baseline):
         return {
@@ -120,6 +163,7 @@ def main():
                 "vs_baseline": round(ps_best / 29.6, 2),
                 "partseg": block(ps_best, ps_med, ps_dt, ps_flops, 29.6),
                 "cls": block(cls_best, cls_med, cls_dt, cls_flops, 21.5),
+                "serve_cls_exported": serve_block,
                 "timing_note": "host-transfer fenced (block_until_ready is unreliable on this tunnel; r1 cls numbers were inflated by it)",
             }
         )

@@ -170,6 +170,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     add_config_flags(parser, TrainConfig())
     parser.add_argument("--max_steps", type=int, default=0, help="early stop for smoke runs")
+    parser.add_argument("--import_torch", type=str, default=None,
+                        help="reference best_model.pth to migrate and "
+                             "fine-tune from (utils/torch_import)")
     parser.add_argument("--preset", type=str, default=None,
                         help="named config preset (mpa_tpu.configs); explicit "
                              "flags still override")
@@ -286,6 +289,22 @@ def main(argv=None):
             params=apply_weight_init(state.params, cfg.init, jax.random.fold_in(root_key, 2))
         )
         log.info(f"re-initialized weights with --init {cfg.init}")
+    if args.import_torch:
+        # Migration/fine-tune path: start from a reference torch checkpoint.
+        from mpa_tpu.utils.torch_import import import_reference_checkpoint
+
+        task = "partseg" if cfg.task == "partseg" else "cls"
+        template = {"params": state.params, "batch_stats": state.batch_stats}
+        variables, report = import_reference_checkpoint(
+            args.import_torch, task, template
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+        log.info(
+            f"imported torch checkpoint {args.import_torch} "
+            f"({len(report['skipped_torch_keys'])} dead/aux keys skipped)"
+        )
     log.info(f"model {cfg.model}: {count_params(state.params) / 1e6:.2f}M params; "
              f"devices: {jax.device_count()}")
 

@@ -67,3 +67,22 @@ def test_export_cli(tmp_path):
     logp = infer(jnp.zeros((2, 64, 3), jnp.float32))
     assert logp.shape == (2, 15)
     assert bool(jnp.isfinite(logp).all())
+
+
+def test_partseg_export_roundtrip(tmp_path):
+    """Tuple-input (points, label-onehot) model exports and round-trips."""
+    # The published 5-scale architecture at a scaled-down ladder.
+    model = get_model("markov_partseg", npoints=(128, 64, 32, 16))
+    pts = jax.random.normal(jax.random.key(0), (2, 256, 3), jnp.float32)
+    onehot = jax.nn.one_hot(jnp.array([0, 2]), 16)
+    tx = tr.make_optimizer("sgd", 0.0)
+    state = tr.create_train_state(model, jax.random.key(1), (pts, onehot), tx)
+    live = jax.jit(tr.make_eval_step())(state, (pts, onehot))
+
+    exp = serve.export_inference(model, state.params, state.batch_stats, (pts, onehot))
+    path = str(tmp_path / "seg.shlo")
+    serve.save_exported(exp, path)
+    out = serve.load_inference(path)((pts, onehot))
+    # The artifact recompiles the same StableHLO; fusion-order fp noise is
+    # ~5e-6 on this depth of model (predictions identical).
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live), atol=1e-4)
