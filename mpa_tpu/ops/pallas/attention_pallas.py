@@ -7,21 +7,32 @@ index, then per edge compute ``attn = E/sum_K(E) - 1`` and
 ``[B, S, K, C]`` edge tensors in HBM per branch per direction (profiled:
 ~18 ms/step of select/multiply/reduce fusions in the part-seg train step).
 
-Here the gather stays in XLA (TPU row gathers run near their floor), but
-everything after it is ONE Pallas kernel forward and ONE backward:
-the gathered block is read once per direction, denom/attn/max (and the exact
-VJP through them, including XLA's tie-splitting max-gradient convention and
-the maximum(denom, eps) gate) happen in VMEM, and only ``[B, S, C]`` contexts
-(forward) / the ``[B, S, K, 2C]`` gradient block (backward) touch HBM.
-Multiple attention branches that share one kNN index (the xyz + spatial
-feature branches of LocalMerge, reference modules/pointnet2_utils.py:460-467)
-ride the same kernel call on a channel-packed block.
+Two fused paths, chosen per node-array size (measured crossover on v5e):
+
+- **Large N (> SMALL_N_THRESHOLD)**: the gather stays in XLA (TPU row
+  gathers run near their floor at these sizes), then ONE Pallas kernel
+  forward and ONE backward. The backward recomputes the per-edge gradients
+  in VMEM and immediately accumulates them into the node accumulator as a
+  one-hot MXU matmul, so the ``[B, S, K, W]`` edge-GRADIENT tensor never
+  exists in HBM (the gathered forward block is the VJP residual).
+- **Small N (<= SMALL_N_THRESHOLD)**: fully fused — the ``[N, W]`` packed
+  slab rides in VMEM and the gather itself happens in-kernel as a one-hot
+  matmul with an exact 3-way bf16 split (``_split3``: bit-identical to an
+  f32 row gather), so NO edge tensor exists in HBM in either direction and
+  the VJP residual is just the node array.
+
+Both paths share the attention math (``_attn_math``): denom/attn/max and
+the exact VJP through them, including XLA's tie-splitting max-gradient
+convention and the maximum(denom, eps) gate, all in VMEM. Multiple
+attention branches that share one kNN index (the xyz + spatial feature
+branches of LocalMerge, reference modules/pointnet2_utils.py:460-467) ride
+the same kernel call on a channel-packed block; a None ``shifts`` drops
+that operand entirely (no zeros tensor, no per-edge add).
 
 The public entry ``transition_attention`` takes the NODE tensors and the
-index, and owns the whole custom VJP: forward = gather + fused kernel;
-backward = fused kernel + Pallas one-hot scatter-add. An XLA fallback
-(``use_pallas=False``, automatic off-TPU) computes the identical math in
-jnp for CPU tests and parity oracles.
+index and owns the whole custom VJP. An XLA fallback (``use_pallas=False``,
+automatic off-TPU) computes the identical math in jnp for CPU tests and
+parity oracles.
 """
 
 from __future__ import annotations
@@ -74,10 +85,17 @@ def _split3(x):
     return hi, mid, lo
 
 
-def _onehot_parts(idx_flat, n, out_dtype):
-    """idx_flat [R, 1] int32 -> one-hot mask [R, n]."""
-    n_ids = jax.lax.broadcasted_iota(jnp.int32, (idx_flat.shape[0], n), 1)
-    return (idx_flat == n_ids).astype(out_dtype)
+def _onehot_mask(idx, n, out_dtype):
+    """idx [St, K] int32 -> one-hot mask [St*K, n] in edge (s, k) row order.
+
+    Built as K per-lane-slice compares stacked on a MAJOR axis: the idx
+    operand keeps its natural [B, S, K] layout (a [B, S*K, 1] operand has a
+    1-wide minor dim, which costs a 128x-padded relayout copy per call), and
+    the (St, K, n) -> (St*K, n) reshape merges major dims, free in Mosaic."""
+    St, K = idx.shape
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (St, K, n), 2)
+    mask = (idx[:, :, None] == n_ids).astype(out_dtype)
+    return mask.reshape(St * K, n)
 
 
 def _mask_gather(mask_bf16, slab, precision):
@@ -167,7 +185,7 @@ def _bwd_scatter_kernel(
     full passes over the largest tensor in the step).
 
     g_ref: [1, St, K, W]; shift (if has_shift)/gctx: [1, St, nB*C];
-    idx_ref: [1, St*K, 1] (pre-flattened); dpacked_ref: [1, Npad, W]
+    idx_ref: [1, St, K]; dpacked_ref: [1, Npad, W]
     accumulator, revisited across the minor (S-chunk) grid dim;
     dshift_ref (if has_shift): [1, St, nB*C].
     """
@@ -201,17 +219,15 @@ def _bwd_scatter_kernel(
     def _():
         dpacked_ref[0] = jnp.zeros((Npad, W), jnp.float32)
 
-    idx = idx_ref[0]  # [St*K, 1]
-    n_ids = jax.lax.broadcasted_iota(jnp.int32, (St * K, Npad), 1)
     dn = (((0,), (0,)), ((), ()))
     if precision == "bf16":
-        mask = (idx == n_ids).astype(jnp.bfloat16)
+        mask = _onehot_mask(idx_ref[0], Npad, jnp.bfloat16)  # [St*K, Npad]
         acc = jax.lax.dot_general(
             mask, dG.astype(jnp.bfloat16),
             dimension_numbers=dn, preferred_element_type=jnp.float32,
         )
     else:
-        mask = (idx == n_ids).astype(jnp.float32)
+        mask = _onehot_mask(idx_ref[0], Npad, jnp.float32)
         hi = dG.astype(jnp.bfloat16).astype(jnp.float32)
         acc = jax.lax.dot_general(
             mask, hi, dimension_numbers=dn, preferred_element_type=jnp.float32
@@ -226,17 +242,16 @@ def _fused_small_fwd_kernel(
     gather_precision: str,
 ):
     """Small-N fused forward: packed_ref [1, Npad, W] whole slab;
-    idx_ref [1, St*K, 1] (local == global); ctx [1, St, nB*C]."""
+    idx_ref [1, St, K] (local == global); ctx [1, St, nB*C]."""
     if has_shift:
         shift_ref, ctx_ref = rest
         shift = shift_ref[0]
     else:
         (ctx_ref,) = rest
     _, Npad, W = packed_ref.shape
-    St = ctx_ref.shape[1]
-    K = idx_ref.shape[1] // St
+    St, K = idx_ref.shape[1], idx_ref.shape[2]
     slab = packed_ref[0].astype(jnp.float32)
-    mask = _onehot_parts(idx_ref[0], Npad, jnp.bfloat16)  # [St*K, Npad]
+    mask = _onehot_mask(idx_ref[0], Npad, jnp.bfloat16)  # [St*K, Npad]
     G = _mask_gather(mask, slab, gather_precision).reshape(St, K, W)
     outs = []
     for r in range(n_branches):
@@ -262,12 +277,11 @@ def _fused_small_bwd_kernel(
     else:
         gctx_ref, dpacked_ref = rest
     _, Npad, W = packed_ref.shape
-    St = gctx_ref.shape[1]
-    K = idx_ref.shape[1] // St
+    St, K = idx_ref.shape[1], idx_ref.shape[2]
     s_chunk = pl.program_id(1)
 
     slab = packed_ref[0].astype(jnp.float32)
-    mask = _onehot_parts(idx_ref[0], Npad, jnp.bfloat16)
+    mask = _onehot_mask(idx_ref[0], Npad, jnp.bfloat16)
     G = _mask_gather(mask, slab, gather_precision).reshape(St, K, W)
     gctx = gctx_ref[0].astype(jnp.float32)
     douts, dshifts = [], []
@@ -329,7 +343,7 @@ def _fused_small_fwd(packed, idx, shifts, n_branches: int, c: int):
         idx = jnp.pad(idx, ((0, 0), (0, Sp - S), (0, 0)))
         if has_shift:
             shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
-    idx_flat = idx.astype(jnp.int32).reshape(B, Sp * K, 1)
+    idx_i32 = idx.astype(jnp.int32)
     kern = functools.partial(
         _fused_small_fwd_kernel, n_branches=n_branches, c=c,
         has_shift=has_shift, gather_precision=GATHER_PRECISION,
@@ -342,12 +356,12 @@ def _fused_small_fwd(packed, idx, shifts, n_branches: int, c: int):
         grid=(B, Sp // St),
         in_specs=[
             pl.BlockSpec((1, Npad, W), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St * K, 1), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, St, K), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
         ]
         + ([vec_spec] if has_shift else []),
         out_specs=vec_spec,
         out_shape=jax.ShapeDtypeStruct((B, Sp, n_branches * c), packed.dtype),
-    )(packed, idx_flat, *((shifts,) if has_shift else ()))
+    )(packed, idx_i32, *((shifts,) if has_shift else ()))
     return ctx[:, :S]
 
 
@@ -368,7 +382,7 @@ def _fused_small_bwd(packed, idx, shifts, gctx, n_branches: int, c: int):
         gctx = jnp.pad(gctx, ((0, 0), (0, Sp - S), (0, 0)))
         if has_shift:
             shifts = jnp.pad(shifts, ((0, 0), (0, Sp - S), (0, 0)))
-    idx_flat = idx.astype(jnp.int32).reshape(B, Sp * K, 1)
+    idx_i32 = idx.astype(jnp.int32)
     kern = functools.partial(
         _fused_small_bwd_kernel, n_branches=n_branches, c=c,
         has_shift=has_shift, gather_precision=GATHER_PRECISION,
@@ -382,7 +396,7 @@ def _fused_small_bwd(packed, idx, shifts, gctx, n_branches: int, c: int):
         grid=(B, Sp // St),
         in_specs=[
             pl.BlockSpec((1, Npad, W), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, St * K, 1), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, St, K), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
         ]
         + ([vec_spec] if has_shift else [])
         + [vec_spec],
@@ -396,7 +410,7 @@ def _fused_small_bwd(packed, idx, shifts, gctx, n_branches: int, c: int):
             if has_shift
             else ()
         ),
-    )(packed, idx_flat, *((shifts,) if has_shift else ()), gctx)
+    )(packed, idx_i32, *((shifts,) if has_shift else ()), gctx)
     if has_shift:
         dpacked, dshift = outs
         return dpacked[:, :N], dshift[:, :S]
@@ -467,7 +481,7 @@ def _bwd_scatter_pallas(G, shifts, gctx, idx, n_points: int, n_branches: int, c:
         gctx = jnp.pad(gctx, ((0, 0), (0, Sp - S), (0, 0)))
         # padded rows must claim no target node
         idx = jnp.pad(idx, ((0, 0), (0, Sp - S), (0, 0)), constant_values=Npad + 1)
-    idx_flat = idx.astype(jnp.int32).reshape(B, Sp * K, 1)
+    idx_i32 = idx.astype(jnp.int32)
     kern = functools.partial(
         _bwd_scatter_kernel, n_branches=n_branches, c=c,
         precision=GRAD_SCATTER_PRECISION, has_shift=has_shift,
@@ -484,7 +498,7 @@ def _bwd_scatter_pallas(G, shifts, gctx, idx, n_points: int, n_branches: int, c:
         + ([vec_spec] if has_shift else [])
         + [
             vec_spec,
-            pl.BlockSpec((1, St * K, 1), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, St, K), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, Npad, W), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -496,7 +510,7 @@ def _bwd_scatter_pallas(G, shifts, gctx, idx, n_points: int, n_branches: int, c:
             if has_shift
             else ()
         ),
-    )(G, *((shifts,) if has_shift else ()), gctx, idx_flat)
+    )(G, *((shifts,) if has_shift else ()), gctx, idx_i32)
     if has_shift:
         dpacked, dshift = outs
         return dpacked[:, :n_points], dshift[:, :S]
