@@ -23,7 +23,6 @@ from typing import Any, Callable, Optional, Sequence
 
 import jax
 from jax import export as jexport
-import jax.numpy as jnp
 
 
 def export_inference(
