@@ -39,8 +39,14 @@ from mpa_tpu.cli.train import load_dataset, batches
 
 
 def main(argv=None):
+    import dataclasses
+    import sys as _sys
+
     parser = argparse.ArgumentParser()
     add_config_flags(parser, TrainConfig())
+    parser.add_argument("--preset", type=str, default=None,
+                        help="named config preset (mpa_tpu.configs); explicit "
+                             "flags still override")
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--import_torch", type=str, default=None,
                         help="reference best_model.pth to migrate and "
@@ -51,7 +57,23 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    cfg = config_from_args(args)
+    if args.preset:
+        from mpa_tpu.configs import get_preset
+
+        base = get_preset(args.preset)
+        passed = {
+            a.split("=")[0].lstrip("-")
+            for a in (argv if argv is not None else _sys.argv[1:])
+            if a.startswith("--")
+        }
+        overrides = {
+            f.name: getattr(args, f.name)
+            for f in dataclasses.fields(base)
+            if f.name in passed and hasattr(args, f.name)
+        }
+        cfg = base.with_overrides(**overrides)
+    else:
+        cfg = config_from_args(args)
     if cfg.task == "partseg" and cfg.model == "markov_cls":
         cfg = cfg.with_overrides(model="markov_partseg")
 
