@@ -4,8 +4,11 @@ Reference semantics: ``ModelNetDataLoader`` (dataset/ModelNetDataLoader.py:44-13
 per-shape comma-separated .txt of xyz+normal, catfile
 ``modelnet{10,40}_shape_names.txt``, split lists
 ``modelnet{10,40}_{train,test}.txt``, pc_normalize, optional offline FPS
-down to ``num_point`` with a pickle cache (here: plain first-N or FPS at load,
-no pickle side-files), ``use_normals`` channel slice.
+down to ``num_point``, ``use_normals`` channel slice. The reference's pickle
+cache of the processed split (dataset/ModelNetDataLoader.py:60-100) maps to a
+versioned ``.npz`` side-file here (``cache=True``): one array pair instead of
+10k pickled objects, atomic rename, and keyed by every parameter that changes
+the processed output, so a config change never serves stale points.
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ def load_modelnet(
     use_normals: bool = False,
     use_fps: bool = False,
     limit: Optional[int] = None,
+    cache: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """Returns (points ``[M, num_point, C]``, labels ``[M]``, class names)."""
     catfile = os.path.join(root, f"modelnet{num_category}_shape_names.txt")
@@ -52,6 +56,16 @@ def load_modelnet(
     ]
     if limit is not None:
         ids = ids[:limit]
+
+    cache_path = os.path.join(
+        root,
+        f"mpa_cache_mn{num_category}_{split}_{num_point}pts"
+        f"_{'fps' if use_fps else 'head'}_{'n' if use_normals else 'xyz'}"
+        f"_{len(ids)}.npz",
+    )
+    if cache and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return z["points"], z["labels"], classes
 
     C = 6 if use_normals else 3
     pts = np.zeros((len(ids), num_point, C), np.float32)
@@ -69,4 +83,11 @@ def load_modelnet(
         cloud[:, :3] = pc_normalize(cloud[:, :3])
         pts[i] = cloud[:, :C]
         labels[i] = cls_index[name]
+    if cache:
+        try:
+            tmp = cache_path + ".tmp.npz"
+            np.savez(tmp, points=pts, labels=labels)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass  # read-only dataset root: run uncached
     return pts, labels, classes

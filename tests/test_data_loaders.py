@@ -111,6 +111,32 @@ class TestModelNet:
         )
         assert pts.shape == (2, 64, 6)
 
+    def test_npz_cache(self, modelnet_root):
+        """The offline-preprocessing cache (reference's pickle cache,
+        dataset/ModelNetDataLoader.py:60-100, done as one npz): second load
+        hits the side-file and returns identical arrays; a different
+        num_point keys a different cache entry."""
+        import glob
+        import os
+
+        pts1, lab1, _ = load_modelnet(modelnet_root, "train", 40, num_point=96)
+        files = glob.glob(os.path.join(str(modelnet_root), "mpa_cache_*_96pts_*.npz"))
+        assert len(files) == 1, files
+        # poison the source files: a cache hit must not re-read them
+        for f in glob.glob(os.path.join(str(modelnet_root), "*", "*.txt")):
+            os.rename(f, f + ".hidden")
+        try:
+            pts2, lab2, _ = load_modelnet(modelnet_root, "train", 40, num_point=96)
+        finally:
+            for f in glob.glob(os.path.join(str(modelnet_root), "*", "*.hidden")):
+                os.rename(f, f[: -len(".hidden")])
+        np.testing.assert_array_equal(pts1, pts2)
+        np.testing.assert_array_equal(lab1, lab2)
+        # different processing params -> distinct cache entry (fresh parse)
+        pts3, _, _ = load_modelnet(modelnet_root, "train", 40, num_point=48)
+        assert pts3.shape[1] == 48
+        assert len(glob.glob(os.path.join(str(modelnet_root), "mpa_cache_*_48pts_*.npz"))) == 1
+
 
 class TestShapeNetPart:
     def test_dataset_items(self, shapenet_root):
