@@ -64,7 +64,8 @@ def _dense(sd: _SD, name: str) -> dict:
 
 def _linear_unit(sd: _SD, name: str, t_params: dict, t_stats: dict) -> Tuple[dict, dict]:
     """Reference ``Linear`` block -> LinearUnit {params, stats}. Norm kind
-    comes from the TEMPLATE (batch_stats present => BatchNorm/norm2)."""
+    comes from the TEMPLATE (batch_stats present => BatchNorm/norm2);
+    ``t_params`` is accepted for a uniform mapper signature."""
     m = sd.child(name)
     params = {"linear": _dense(m, "linear")}
     stats = {}
@@ -73,7 +74,6 @@ def _linear_unit(sd: _SD, name: str, t_params: dict, t_stats: dict) -> Tuple[dic
     params["norm"] = {"scale": norm("weight"), "bias": norm("bias")}
     if is_batch:
         stats["norm"] = {"mean": norm("running_mean"), "var": norm("running_var")}
-    del t_params
     return params, stats
 
 
