@@ -150,3 +150,85 @@ class TestTrainingCurveEquivalence:
         )
         assert b16[-1] < b16[0] - 0.2, "bf16 run failed to train"
         assert abs((f32[0] - f32[-1]) - (b16[0] - b16[-1])) < 0.3
+
+
+class TestPartSegTrainingCurveEquivalence:
+    """Same proxy for the part-seg architecture behind the headline 86.76%
+    ins-mIoU: transplanted init, identical synthetic batches, SGD on both
+    sides, per-point NLL; curves must track statistically."""
+
+    STEPS = 15
+
+    def _batches(self):
+        import test_partseg_model_parity as SEG
+
+        r = np.random.default_rng(11)
+        Bs, Ns = SEG.B, SEG.N
+        xs = r.normal(size=(2, Bs, Ns, 3)).astype(np.float32)
+        cats = r.integers(0, SEG.NUM_CATS, size=(2, Bs))
+        ohs = np.eye(SEG.NUM_CATS, dtype=np.float32)[cats]
+        segs = r.integers(0, SEG.NUM_PARTS, size=(2, Bs, Ns))
+        for i in range(self.STEPS):
+            j = i % 2
+            yield xs[j], ohs[j], segs[j]
+
+    def test_partseg_loss_curves_track(self):
+        import test_partseg_model_parity as SEG
+
+        tmodel, jmodel, variables = SEG.build_transplanted()
+        # Dropout draws can't be shared across frameworks: off on both sides.
+        jmodel = jmodel.clone(dropout=0.0)
+        tmodel.train()
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.Dropout):
+                m.eval()
+
+        # torch side
+        opt = torch.optim.SGD(tmodel.parameters(), lr=LR, momentum=MOMENTUM)
+        want = []
+        for x, oh, seg in self._batches():
+            opt.zero_grad()
+            logp = SEG._run_ref(tmodel, x, oh, grad=True)
+            tgt = torch.from_numpy(seg).long()
+            loss = -logp.gather(-1, tgt.unsqueeze(-1)).mean()
+            loss.backward()
+            opt.step()
+            want.append(float(loss.detach()))
+        want = np.asarray(want)
+
+        # jax side
+        tx = optax.sgd(LR, momentum=MOMENTUM)
+        params, stats = variables["params"], variables["batch_stats"]
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, stats, opt_state, x, oh, seg):
+            def loss_fn(p):
+                out, updates = jmodel.apply(
+                    {"params": p, "batch_stats": stats}, (x, oh), train=True,
+                    mutable=["batch_stats"],
+                )
+                nll = -jnp.take_along_axis(out, seg[..., None], axis=-1).mean()
+                return nll, updates["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            upd, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), new_stats, opt_state2, loss
+
+        got = []
+        for x, oh, seg in self._batches():
+            params, stats, opt_state, loss = step(
+                params, stats, opt_state,
+                jnp.asarray(x), jnp.asarray(oh), jnp.asarray(seg),
+            )
+            got.append(float(loss))
+        got = np.asarray(got)
+
+        diff = np.abs(got - want)
+        assert diff[0] < 1e-3, f"step-0 loss mismatch: {got[0]} vs {want[0]}"
+        assert float(diff.mean()) < 0.12, (
+            f"curves diverge: got {got.round(4).tolist()} want {want.round(4).tolist()}"
+        )
+        # Both must make the same total progress on the same data.
+        assert want[-1] < want[0] - 0.05 and got[-1] < got[0] - 0.05
+        assert abs((want[0] - want[-1]) - (got[0] - got[-1])) < 0.1
