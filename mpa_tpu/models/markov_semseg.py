@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from mpa_tpu.ops import farthest_point_sample, index_points, scatter_mean_upsample
+from mpa_tpu.ops.morton import morton_order
 from mpa_tpu.nn.linear import LinearUnit
 from mpa_tpu.nn.local_merge import LocalMerge
 from mpa_tpu.nn.fuse import Fuse
@@ -34,12 +35,23 @@ class MarkovSemSeg(nn.Module):
     residuals: Sequence[bool] = (True, False, False, True, True)
     num_neighbors: int = 8
     dropout: float = 0.5
+    # 'window': Morton-sort the block, restrict every LocalMerge neighbour
+    # search to the index window (ops/pallas/window_attention.py), un-permute
+    # the per-point outputs. An approximation (documented there) that turns
+    # the O(N^2) neighbour searches into O(N*window) — the scalability mode
+    # for large scenes. 'exact' (default) is the reference-style semantics.
+    neighbor_mode: str = "exact"
 
     @nn.compact
     def __call__(
         self, points, *, train: bool = True, rng: Optional[jax.Array] = None
     ) -> jnp.ndarray:
         B, N, _ = points.shape
+        inv_perm = None
+        if self.neighbor_mode == "window":
+            perm = morton_order(points[..., :3])
+            inv_perm = jnp.argsort(perm, axis=-1)
+            points = jnp.take_along_axis(points, perm[..., None], axis=1)
         xyz = points[..., :3]
         extra = points[..., 3 : 3 + self.feature_channels]
         ch = self.channels
@@ -52,7 +64,7 @@ class MarkovSemSeg(nn.Module):
         # First state: geometric LocalMerge fused with the input features.
         f0, idx0, d0 = LocalMerge(
             ch[0], self.num_neighbors, residual=self.residuals[0],
-            include_xyz_branch=True, name="la0",
+            include_xyz_branch=True, knn_mode=self.neighbor_mode, name="la0",
         )(xyz, xyz, train=train)
         if self.feature_channels:
             f0 = LinearUnit(ch[0], norm="batch", name="feat_in")(
@@ -68,10 +80,15 @@ class MarkovSemSeg(nn.Module):
             fps_idx = farthest_point_sample(
                 cur_xyz, npoint, key=None if fps_keys is None else fps_keys[i]
             )
+            if self.neighbor_mode == "window":
+                # sorted FPS subset keeps every scale in Morton order (the
+                # banding precondition); an FPS SET is order-invariant.
+                fps_idx = jnp.sort(fps_idx, axis=-1)
             new_xyz = index_points(cur_xyz, fps_idx)
             f, idx_i, _ = LocalMerge(
                 ch[i + 1], self.num_neighbors, residual=self.residuals[i + 1],
-                include_xyz_branch=True, name=f"la{i + 1}",
+                include_xyz_branch=True, knn_mode=self.neighbor_mode,
+                name=f"la{i + 1}",
             )(new_xyz, cur_xyz, feature=feats[i], fps_idx=fps_idx, train=train)
             feats[i + 1] = f
             positions[i + 1] = new_xyz
@@ -98,7 +115,8 @@ class MarkovSemSeg(nn.Module):
             )
             f_s, _, _ = LocalMerge(
                 ch[s], self.num_neighbors, residual=False,
-                include_xyz_branch=True, name=f"la{s + 1}_up",
+                include_xyz_branch=True, knn_mode=self.neighbor_mode,
+                name=f"la{s + 1}_up",
             )(positions[s], positions[s], feature=up, train=train)
             src = list(feats)
             src[s] = f_s
@@ -121,7 +139,10 @@ class MarkovSemSeg(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = LinearUnit(256, norm="batch", name="head2")(x, train=train)
         x = nn.Dense(self.num_classes, name="head3")(x)
-        return jax.nn.log_softmax(x, axis=-1)
+        out = jax.nn.log_softmax(x, axis=-1)
+        if inv_perm is not None:
+            out = jnp.take_along_axis(out, inv_perm[..., None], axis=1)
+        return out
 
 
 @register_model("markov_semseg")

@@ -45,6 +45,22 @@ class LocalMerge(nn.Module):
     # branch, no fuse layer.
     single_branch: bool = False
     dtype: Any = None  # compute dtype (kNN distance selection stays fp32)
+    # 'window' restricts BOTH neighbour searches to the Morton index window
+    # (ops/pallas/window_attention.py) — a documented approximation for
+    # large-scene models whose inputs are Morton-ordered; scale pairs outside
+    # the banding contract silently fall back to exact kNN. 'exact' (default)
+    # reproduces the reference semantics.
+    knn_mode: str = "exact"
+
+    def _knn(self, k, base, query):
+        if self.knn_mode == "window":
+            from mpa_tpu.ops.pallas.window_attention import windowed_knn
+
+            try:
+                return windowed_knn(k, base, query)
+            except ValueError:
+                pass
+        return knn(k, base, query)
 
     @nn.compact
     def __call__(
@@ -59,7 +75,7 @@ class LocalMerge(nn.Module):
         """xyz: ``[B, S, 3]`` coarse centres; base_xyz: ``[B, N, 3]`` fine set;
         feature: ``[B, N, C]`` fine features (None on the first state);
         fps_idx: ``[B, S]`` indices realizing xyz = base_xyz[fps_idx]."""
-        dist, idx = knn(self.num_neighbors, base_xyz, xyz)  # spatial kNN [B,S,K]
+        dist, idx = self._knn(self.num_neighbors, base_xyz, xyz)  # spatial kNN
 
         if feature is None:
             out = LocalTrans(
@@ -86,7 +102,7 @@ class LocalMerge(nn.Module):
             )(feature, center_feat, idx, train=train)
             return out, idx, dist
         # Feature-space kNN: neighbours of the coarse features among the fine.
-        _, idx_feat = knn(self.num_neighbors, feature, center_feat)
+        _, idx_feat = self._knn(self.num_neighbors, feature, center_feat)
 
         trans1 = LocalTrans(
             self.out_channels,

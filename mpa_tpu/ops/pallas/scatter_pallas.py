@@ -28,13 +28,21 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _scatter_kernel(feat_ref, idx_ref, out_ref, cnt_ref, *, k: int):
-    """feat_ref: [1, S, C]; idx_ref: [1, S, K]; out tile: [1, Nt, C];
-    cnt tile: [1, Nt, 128] (count broadcast along a lane-padded axis)."""
+    """feat_ref: [1, Sc, C]; idx_ref: [1, Sc, K]; out tile: [1, Nt, C];
+    cnt tile: [1, Nt, 128] (count broadcast along a lane-padded axis).
+    Accumulated across the S-chunk grid dim (innermost -> consecutive
+    revisits of each output tile), so VMEM stays bounded at any S."""
     _, S, C = feat_ref.shape
     _, Nt, _ = out_ref.shape
     n0 = pl.program_id(1) * Nt
+    s_chunk = pl.program_id(2)
 
-    f = feat_ref[0, :, :]  # [S, C]
+    @pl.when(s_chunk == 0)
+    def _():
+        out_ref[0, :, :] = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        cnt_ref[0, :, :] = jnp.zeros(cnt_ref.shape[1:], jnp.float32)
+
+    f = feat_ref[0, :, :]  # [Sc, C]
     # Claim mask: mask[s, n] = sum_k (idx[s, k] == n0 + n).
     n_ids = jax.lax.broadcasted_iota(jnp.int32, (S, Nt), 1) + n0
     mask = jnp.zeros((S, Nt), jnp.float32)
@@ -54,8 +62,8 @@ def _scatter_kernel(feat_ref, idx_ref, out_ref, cnt_ref, *, k: int):
         mask, f_lo, dimension_numbers=dn, preferred_element_type=jnp.float32
     )  # [Nt, C]
     cnt = jnp.sum(mask, axis=0).reshape(Nt, 1)  # [Nt, 1]
-    out_ref[0, :, :] = out
-    cnt_ref[0, :, :] = jnp.broadcast_to(cnt, (Nt, cnt_ref.shape[2]))
+    out_ref[0, :, :] += out
+    cnt_ref[0, :, :] += jnp.broadcast_to(cnt, (Nt, cnt_ref.shape[2]))
 
 
 @functools.partial(jax.jit, static_argnames=("num_fine", "n_tile"))
@@ -64,24 +72,35 @@ def _scatter_sum_count(features, knn_idx, num_fine: int, n_tile: int = 512):
     K = knn_idx.shape[-1]
     Nt = min(n_tile, _round_up(num_fine, 128))
     Npad = _round_up(num_fine, Nt)
+    # S-chunking bounds VMEM: the K [Sc, Nt] masks + the [Sc, C] block must
+    # fit alongside the output tiles (found the hard way: an unchunked S=8192
+    # blew the 16MB scoped limit in 16k-point scenes).
+    Sc = min(2048, _round_up(S, 8))
+    Spad = _round_up(S, Sc)
+    f = features.astype(jnp.float32)
+    ix = knn_idx.astype(jnp.int32)
+    if Spad != S:
+        f = jnp.pad(f, ((0, 0), (0, Spad - S), (0, 0)))
+        # padded rows must claim no slot
+        ix = jnp.pad(ix, ((0, 0), (0, Spad - S), (0, 0)), constant_values=Npad + 1)
 
     kernel = functools.partial(_scatter_kernel, k=K)
     out, cnt = pl.pallas_call(
         kernel,
-        grid=(B, Npad // Nt),
+        grid=(B, Npad // Nt, Spad // Sc),
         in_specs=[
-            pl.BlockSpec((1, S, C), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, K), lambda b, n: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sc, C), lambda b, n, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sc, K), lambda b, n, s: (b, s, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, Nt, C), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nt, 128), lambda b, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nt, C), lambda b, n, s: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nt, 128), lambda b, n, s: (b, n, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Npad, C), jnp.float32),
             jax.ShapeDtypeStruct((B, Npad, 128), jnp.float32),
         ),
-    )(features.astype(jnp.float32), knn_idx.astype(jnp.int32))
+    )(f, ix)
     return out[:, :num_fine, :], cnt[:, :num_fine, 0]
 
 

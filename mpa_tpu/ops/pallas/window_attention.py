@@ -215,3 +215,27 @@ def windowed_knn_reference(
     d = jnp.where(inside, d, jnp.inf)
     _, idx = jax.lax.top_k(-d, k)
     return idx.astype(jnp.int32)
+
+
+def windowed_knn(k: int, base: jnp.ndarray, query: jnp.ndarray, sq: int = 128):
+    """Drop-in for ops.knn with windowed semantics: ``(sqr_dists, idx)``.
+
+    Raises ValueError (from make_window_spec) when the scale pair doesn't
+    satisfy the banding contract — callers fall back to exact kNN. Both
+    arrays must share a Morton-consistent row order. Distances are recomputed
+    differentiably from the selected rows, exactly as knn_pallas does.
+    """
+    spec = make_window_spec(query.shape[1], base.shape[1], sq=sq)
+    b = jax.lax.stop_gradient(base)
+    q = jax.lax.stop_gradient(query)
+    if jax.default_backend() == "tpu":
+        idx = windowed_knn_indices(k, b, q, spec)
+    else:
+        idx = windowed_knn_reference(k, b, q, spec)
+    B, S = query.shape[0], query.shape[1]
+    flat = idx.reshape(B, S * k)
+    gathered = jnp.take_along_axis(
+        base, flat[..., None], axis=1, mode="promise_in_bounds"
+    ).reshape(B, S, k, base.shape[-1])
+    d = jnp.sum((query[:, :, None, :] - gathered) ** 2, axis=-1)
+    return d, idx

@@ -135,6 +135,15 @@ class TestScatterMeanKernel:
         assert np.any(np.all(want == 0.0, axis=-1))
         np.testing.assert_allclose(got, want, atol=2e-6)
 
+    def test_s_chunked_accumulation(self):
+        """S above the kernel's 2048-row chunk exercises the multi-chunk
+        accumulate path (found as a VMEM OOM in 16k-point scenes: an
+        unchunked S=8192 blew the scoped limit)."""
+        feats, idx, num_fine = self._case(B=1, S=2056, K=4, num_fine=256, seed=5)
+        got = np.asarray(scatter_mean_upsample_pallas(feats, idx, num_fine))
+        want = np.asarray(ops.scatter_mean_upsample(feats, idx, num_fine, use_pallas=False))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
     def test_backward_matches_xla(self):
         feats, idx, num_fine = self._case(seed=2)
 
