@@ -244,7 +244,8 @@ def main(argv=None):
         loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, cfg.label_smoothing)
     elif cfg.task == "semseg":
         model = get_model(
-            cfg.model, num_classes=cfg.num_classes, npoints=seg_ladder(4)
+            cfg.model, num_classes=cfg.num_classes, npoints=seg_ladder(4),
+            neighbor_mode=cfg.neighbor_mode,
         )
         loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, cfg.label_smoothing)
     elif cfg.task == "pose":

@@ -19,6 +19,9 @@ class TrainConfig:
     model: str = "markov_cls"
     num_classes: int = 15
     num_points: int = 1024
+    # semseg only: 'exact' (reference semantics) | 'window' (Morton-window
+    # neighbourhoods - the large-scene scalability mode, see docs/PERF.md)
+    neighbor_mode: str = 'exact'
 
     # data
     dataset: str = "synthetic"  # 'scanobjectnn' | 'modelnet40' | 'shapenetpart' | 's3dis' | 'synthetic'
