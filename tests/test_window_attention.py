@@ -125,7 +125,6 @@ class TestSemsegWindowMode:
 
     def test_forward_and_train_step(self):
         import jax
-        import optax
         from mpa_tpu import train as tr
 
         model, pts = self._model_and_input("window")
