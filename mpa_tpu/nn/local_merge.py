@@ -53,14 +53,16 @@ class LocalMerge(nn.Module):
     knn_mode: str = "exact"
 
     def _knn(self, k, base, query):
+        """Returns (dist, idx, window_spec_or_None)."""
         if self.knn_mode == "window":
-            from mpa_tpu.ops.pallas.window_attention import windowed_knn
+            from mpa_tpu.ops.pallas.window_attention import windowed_knn_with_spec
 
             try:
-                return windowed_knn(k, base, query)
+                return windowed_knn_with_spec(k, base, query)
             except ValueError:
                 pass
-        return knn(k, base, query)
+        d, idx = knn(k, base, query)
+        return d, idx, None
 
     @nn.compact
     def __call__(
@@ -75,7 +77,7 @@ class LocalMerge(nn.Module):
         """xyz: ``[B, S, 3]`` coarse centres; base_xyz: ``[B, N, 3]`` fine set;
         feature: ``[B, N, C]`` fine features (None on the first state);
         fps_idx: ``[B, S]`` indices realizing xyz = base_xyz[fps_idx]."""
-        dist, idx = self._knn(self.num_neighbors, base_xyz, xyz)  # spatial kNN
+        dist, idx, wspec = self._knn(self.num_neighbors, base_xyz, xyz)  # spatial kNN
 
         if feature is None:
             out = LocalTrans(
@@ -85,7 +87,7 @@ class LocalMerge(nn.Module):
                 use_tanh=self.use_tanh,
                 dtype=self.dtype,
                 name="xyz_trans",
-            )(base_xyz, xyz, idx, xyz_mode=True, train=train)
+            )(base_xyz, xyz, idx, xyz_mode=True, train=train, window_spec=wspec)
             return out, idx, dist
 
         center_feat = (
@@ -99,10 +101,10 @@ class LocalMerge(nn.Module):
                 use_tanh=self.use_tanh,
                 dtype=self.dtype,
                 name="feature_trans",
-            )(feature, center_feat, idx, train=train)
+            )(feature, center_feat, idx, train=train, window_spec=wspec)
             return out, idx, dist
         # Feature-space kNN: neighbours of the coarse features among the fine.
-        _, idx_feat = self._knn(self.num_neighbors, feature, center_feat)
+        _, idx_feat, wspec_f = self._knn(self.num_neighbors, feature, center_feat)
 
         trans1 = LocalTrans(
             self.out_channels,
@@ -120,16 +122,16 @@ class LocalMerge(nn.Module):
             dtype=self.dtype,
             name="feature_trans2",
         )
-        m2 = trans2(feature, center_feat, idx_feat, train=train)
+        m2 = trans2(feature, center_feat, idx_feat, train=train, window_spec=wspec_f)
 
         if not self.include_xyz_branch or self.use_tanh:
-            m1 = trans1(feature, center_feat, idx, train=train)
+            m1 = trans1(feature, center_feat, idx, train=train, window_spec=wspec)
             branches = [m1, m2]
             if self.include_xyz_branch:
                 xyz_f = LocalTrans(
                     self.out_channels, self.num_neighbors, residual_proj=True,
                     use_tanh=self.use_tanh, dtype=self.dtype, name="xyz_trans",
-                )(base_xyz, xyz, idx, xyz_mode=True, train=train)
+                )(base_xyz, xyz, idx, xyz_mode=True, train=train, window_spec=wspec)
                 branches = [xyz_f, m1, m2]
         else:
             # The xyz branch and the spatial feature branch group by the SAME
@@ -146,7 +148,14 @@ class LocalMerge(nn.Module):
             )  # [B, N, 4C]
             xshift = xyz_trans.value_shift(xyz)  # [B, S, C]
             shifts = jnp.concatenate([xshift, jnp.zeros_like(xshift)], axis=-1)
-            ctx = transition_attention(packed, idx, shifts, 2, C)  # [B, S, 2C]
+            if wspec is not None:
+                from mpa_tpu.ops.pallas.window_attention import (
+                    windowed_transition_attention,
+                )
+
+                ctx = windowed_transition_attention(packed, idx, shifts, 2, C, wspec)
+            else:
+                ctx = transition_attention(packed, idx, shifts, 2, C)  # [B, S, 2C]
             xyz_f = xyz_trans.ffn_out(ctx[..., :C], xyz, train=train)
             m1 = trans1.ffn_out(ctx[..., C:], center_feat, train=train)
             branches = [xyz_f, m1, m2]

@@ -102,7 +102,10 @@ class LocalTrans(nn.Module):
             residual = self.conv_res(residual, train=train)
         return residual + self.ffn(context, train=train)
 
-    def __call__(self, source, center, idx, *, xyz_mode: bool = False, train: bool = True):
+    def __call__(
+        self, source, center, idx, *, xyz_mode: bool = False,
+        train: bool = True, window_spec=None,
+    ):
         if self.use_tanh:
             # Edge-level path (dead in live models): tanh(q - k) does not fold.
             if xyz_mode:
@@ -122,5 +125,14 @@ class LocalTrans(nn.Module):
 
         packed = self.node_pack(source)
         shifts = self.value_shift(center) if xyz_mode else None
-        context = transition_attention(packed, idx, shifts, 1, self.out_channels)
+        if window_spec is not None:
+            from mpa_tpu.ops.pallas.window_attention import (
+                windowed_transition_attention,
+            )
+
+            context = windowed_transition_attention(
+                packed, idx, shifts, 1, self.out_channels, window_spec
+            )
+        else:
+            context = transition_attention(packed, idx, shifts, 1, self.out_channels)
         return self.ffn_out(context, center, train=train)

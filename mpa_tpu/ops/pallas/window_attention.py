@@ -219,6 +219,17 @@ def windowed_knn_reference(
 
 def windowed_knn(k: int, base: jnp.ndarray, query: jnp.ndarray, sq: int = 128):
     """Drop-in for ops.knn with windowed semantics: ``(sqr_dists, idx)``.
+    See windowed_knn_with_spec for the spec-returning variant."""
+    d, idx, _ = windowed_knn_with_spec(k, base, query, sq=sq)
+    return d, idx
+
+
+def windowed_knn_with_spec(
+    k: int, base: jnp.ndarray, query: jnp.ndarray, sq: int = 128
+):
+    """Windowed kNN returning ``(sqr_dists, idx, spec)`` — the spec feeds
+    windowed_transition_attention so the banded gather/scatter use EXACTLY
+    the window the search was constrained to.
 
     Raises ValueError (from make_window_spec) when the scale pair doesn't
     satisfy the banding contract — callers fall back to exact kNN. Both
@@ -238,4 +249,280 @@ def windowed_knn(k: int, base: jnp.ndarray, query: jnp.ndarray, sq: int = 128):
         base, flat[..., None], axis=1, mode="promise_in_bounds"
     ).reshape(B, S, k, base.shape[-1])
     d = jnp.sum((query[:, :, None, :] - gathered) ** 2, axis=-1)
-    return d, idx
+    return d, idx, spec
+
+
+# ---------------------------------------------------------------------------
+# Banded (windowed) fused transition attention
+#
+# With idx guaranteed inside each chunk's 2-block window (the windowed kNN
+# above), the attention gather/scatter shrink from [edges, N] one-hot matmuls
+# (or arbitrary row gathers) to [edges, 2*bn] banded ones — the window/N FLOP
+# reduction the exact path cannot have. Both directions run fully in VMEM:
+# no edge tensor in HBM, VJP residual = the node array.
+# ---------------------------------------------------------------------------
+
+from mpa_tpu.ops.pallas import attention_pallas as _AP  # noqa: E402
+from mpa_tpu.ops.pallas.attention_pallas import (  # noqa: E402
+    _attn_math,
+    _mask_gather,
+    _xla_reference,
+)
+
+
+def _local_onehot(idx, win0, n, out_dtype):
+    """Global idx [St, K] -> one-hot [St*K, n] against window rows
+    [win0, win0+n). Out-of-window rows (query padding) match nothing."""
+    St, K = idx.shape
+    local = idx - win0
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (St, K, n), 2)
+    return (local[:, :, None] == n_ids).astype(out_dtype).reshape(St * K, n)
+
+
+def _wattn_fwd_kernel(
+    nodeA_ref, nodeB_ref, idx_ref, *rest,
+    n_branches: int, c: int, has_shift: bool, spec: WindowSpec,
+    gather_precision: str,
+):
+    """nodeA/B: [1, bn, W] packed window blocks; idx: [1, sq, K] global;
+    shifts (opt): [1, sq, nB*C]; ctx out: [1, sq, nB*C]."""
+    if has_shift:
+        shift_ref, ctx_ref = rest
+        shift = shift_ref[0]
+    else:
+        (ctx_ref,) = rest
+    ch = pl.program_id(1)
+    win0 = spec.block_g(ch) * spec.bn
+    band = jnp.concatenate(
+        [nodeA_ref[0], nodeB_ref[0]], axis=0
+    ).astype(jnp.float32)  # [2bn, W]
+    St, K = idx_ref.shape[1], idx_ref.shape[2]
+    W = band.shape[-1]
+    mask = _local_onehot(idx_ref[0], win0, spec.window, jnp.bfloat16)
+    G = _mask_gather(mask, band, gather_precision).reshape(St, K, W)
+    outs = []
+    for r in range(n_branches):
+        E = G[:, :, 2 * r * c : (2 * r + 1) * c]
+        V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
+        if has_shift:
+            s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
+            V = V + jnp.expand_dims(s, 1)
+        outs.append(_attn_math(E, V))
+    ctx_ref[0] = jnp.concatenate(outs, axis=-1).astype(ctx_ref.dtype)
+
+
+def _wattn_bwd_kernel(
+    nodeA_ref, nodeB_ref, idx_ref, *rest,
+    n_branches: int, c: int, has_shift: bool, spec: WindowSpec,
+    gather_precision: str, scatter_precision: str,
+):
+    """Recompute the banded gather + attention grads in VMEM, then scatter
+    dG into the two window blocks (outA at block g, outB at block g+1).
+    Blocks are revisited only by CONSECUTIVE chunks (g advances one block per
+    chunk), satisfying the Pallas accumulation contract; first-visit zeroing
+    derives from the chunk index."""
+    if has_shift:
+        shift_ref, gctx_ref, outA_ref, outB_ref, dshift_ref = rest
+        shift = shift_ref[0]
+    else:
+        gctx_ref, outA_ref, outB_ref = rest
+    ch = pl.program_id(1)
+    nc = spec.n_chunks
+    win0 = spec.block_g(ch) * spec.bn
+    band = jnp.concatenate(
+        [nodeA_ref[0], nodeB_ref[0]], axis=0
+    ).astype(jnp.float32)
+    St, K = idx_ref.shape[1], idx_ref.shape[2]
+    W = band.shape[-1]
+    mask = _local_onehot(idx_ref[0], win0, spec.window, jnp.bfloat16)
+    G = _mask_gather(mask, band, gather_precision).reshape(St, K, W)
+    gctx = gctx_ref[0].astype(jnp.float32)
+    douts, dshifts = [], []
+    for r in range(n_branches):
+        E = G[:, :, 2 * r * c : (2 * r + 1) * c]
+        V = G[:, :, (2 * r + 1) * c : (2 * r + 2) * c]
+        if has_shift:
+            s = shift[:, r * c : (r + 1) * c].astype(jnp.float32)
+            V = V + jnp.expand_dims(s, 1)
+        dE, dV = _attn_math(E, V, gctx[:, r * c : (r + 1) * c])
+        douts += [dE, dV]
+        if has_shift:
+            dshifts.append(jnp.sum(dV, axis=-2))
+    dG = jnp.concatenate(douts, axis=-1).reshape(St * K, W)
+    if has_shift:
+        dshift_ref[0] = jnp.concatenate(dshifts, axis=-1).astype(dshift_ref.dtype)
+
+    # chunk visit sequences: outA blocks [0,0,1,..,nc-2,nc-2]; outB = +1.
+    # A fresh block appears at ch==0 and at each 2<=ch<=nc-1.
+    first = jnp.logical_or(ch == 0, jnp.logical_and(ch >= 2, ch <= nc - 1))
+
+    @pl.when(first)
+    def _():
+        outA_ref[0] = jnp.zeros(outA_ref.shape[1:], jnp.float32)
+        outB_ref[0] = jnp.zeros(outB_ref.shape[1:], jnp.float32)
+
+    maskA = mask[:, : spec.bn]
+    maskB = mask[:, spec.bn :]
+    dn = (((0,), (0,)), ((), ()))
+    if scatter_precision == "bf16":
+        dGb = dG.astype(jnp.bfloat16)
+        accA = jax.lax.dot_general(
+            maskA, dGb, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+        accB = jax.lax.dot_general(
+            maskB, dGb, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+    else:
+        hi = dG.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = dG - hi
+        maskAf = maskA.astype(jnp.float32)
+        maskBf = maskB.astype(jnp.float32)
+        accA = jax.lax.dot_general(
+            maskAf, hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            maskAf, lo, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+        accB = jax.lax.dot_general(
+            maskBf, hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            maskBf, lo, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+    outA_ref[0] += accA
+    outB_ref[0] += accB
+
+
+def _pad_q(x, spec, value=0):
+    return _pad_queries(x, spec, value) if x is not None else None
+
+
+@functools.partial(jax.jit, static_argnames=("n_branches", "c", "spec"))
+def _wattn_fwd(packed, idx, shifts, n_branches: int, c: int, spec: WindowSpec):
+    B, N, W = packed.shape
+    S, K = idx.shape[1], idx.shape[2]
+    idx_p = _pad_q(idx.astype(jnp.int32), spec)
+    shifts_p = _pad_q(shifts, spec)
+    has_shift = shifts is not None
+    kern = functools.partial(
+        _wattn_fwd_kernel, n_branches=n_branches, c=c, has_shift=has_shift,
+        spec=spec, gather_precision=_AP.GATHER_PRECISION,
+    )
+    vec = pl.BlockSpec(
+        (1, spec.sq, n_branches * c), lambda b, ch: (b, ch, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ctx = pl.pallas_call(
+        kern,
+        grid=(B, spec.n_chunks + 1),
+        in_specs=[
+            pl.BlockSpec((1, spec.bn, W), lambda b, ch: (b, spec.block_g(ch), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spec.bn, W), lambda b, ch: (b, spec.block_g(ch) + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spec.sq, K), lambda b, ch: (b, ch, 0), memory_space=pltpu.VMEM),
+        ]
+        + ([vec] if has_shift else []),
+        out_specs=vec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, S + 2 * spec.pad, n_branches * c), packed.dtype
+        ),
+    )(packed, packed, idx_p, *((shifts_p,) if has_shift else ()))
+    return ctx[:, spec.pad : spec.pad + S]
+
+
+@functools.partial(jax.jit, static_argnames=("n_branches", "c", "spec"))
+def _wattn_bwd(packed, idx, shifts, gctx, n_branches: int, c: int, spec: WindowSpec):
+    B, N, W = packed.shape
+    S, K = idx.shape[1], idx.shape[2]
+    nc = spec.n_chunks
+    idx_p = _pad_q(idx.astype(jnp.int32), spec)
+    shifts_p = _pad_q(shifts, spec)
+    gctx_p = _pad_q(gctx, spec)
+    has_shift = shifts is not None
+    kern = functools.partial(
+        _wattn_bwd_kernel, n_branches=n_branches, c=c, has_shift=has_shift,
+        spec=spec, gather_precision=_AP.GATHER_PRECISION,
+        scatter_precision=_AP.GRAD_SCATTER_PRECISION,
+    )
+    vec = pl.BlockSpec(
+        (1, spec.sq, n_branches * c), lambda b, ch: (b, ch, 0),
+        memory_space=pltpu.VMEM,
+    )
+    blockA = pl.BlockSpec(
+        (1, spec.bn, W), lambda b, ch: (b, spec.block_g(ch), 0),
+        memory_space=pltpu.VMEM,
+    )
+    blockB = pl.BlockSpec(
+        (1, spec.bn, W), lambda b, ch: (b, spec.block_g(ch) + 1, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(B, nc + 1),
+        in_specs=[blockA, blockB,
+                  pl.BlockSpec((1, spec.sq, K), lambda b, ch: (b, ch, 0), memory_space=pltpu.VMEM)]
+        + ([vec] if has_shift else [])
+        + [vec],
+        out_specs=(blockA, blockB) + ((vec,) if has_shift else ()),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, W), jnp.float32),
+        )
+        + (
+            (jax.ShapeDtypeStruct((B, S + 2 * spec.pad, n_branches * c), packed.dtype),)
+            if has_shift
+            else ()
+        ),
+    )(packed, packed, idx_p, *((shifts_p,) if has_shift else ()), gctx_p)
+    if has_shift:
+        outA, outB, dshift_p = outs
+        dshift = dshift_p[:, spec.pad : spec.pad + S]
+    else:
+        outA, outB = outs
+        dshift = None
+    # outA holds blocks [0, nc-1); outB holds [1, nc). Zero the unwritten
+    # block of each before combining.
+    bn = spec.bn
+    zeros_blk = jnp.zeros((B, bn, W), jnp.float32)
+    dpacked = (
+        jnp.concatenate([outA[:, : (nc - 1) * bn], zeros_blk], axis=1)
+        + jnp.concatenate([zeros_blk, outB[:, bn:]], axis=1)
+    )
+    return dpacked, dshift
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _wattn(packed, idx, shifts, n_branches: int, c: int, spec: WindowSpec):
+    return _wattn_fwd_rule(packed, idx, shifts, n_branches, c, spec)[0]
+
+
+def _wattn_fwd_rule(packed, idx, shifts, n_branches, c, spec):
+    ctx = _wattn_fwd(jax.lax.stop_gradient(packed), idx, shifts, n_branches, c, spec)
+    return ctx, (packed, idx, shifts)
+
+
+def _wattn_bwd_rule(n_branches, c, spec, res, g):
+    packed, idx, shifts = res
+    dpacked, dshift = _wattn_bwd(packed, idx, shifts, g, n_branches, c, spec)
+    return dpacked.astype(packed.dtype), None, dshift
+
+
+_wattn.defvjp(_wattn_fwd_rule, _wattn_bwd_rule)
+
+
+def windowed_transition_attention(
+    packed, idx, shifts, n_branches: int, c: int, spec: WindowSpec,
+    use_pallas=None,
+):
+    """Banded fused transition attention over a window-constrained idx.
+
+    Identical math to ops.pallas.attention_pallas.transition_attention; the
+    banding is purely a cost optimization, valid because every ``idx`` entry
+    lies inside its query chunk's window (the windowed kNN's guarantee —
+    out-of-window indices silently contribute NOTHING, so never pass exact
+    kNN output here). Off TPU, falls back to the identical-semantics XLA
+    reference (arbitrary-idx gather)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        if shifts is None:
+            return _xla_reference(packed, idx, None, n_branches, c)
+        return _xla_reference(packed, idx, shifts, n_branches, c)
+    return _wattn(packed, idx, shifts, n_branches, c, spec)

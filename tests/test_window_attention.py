@@ -159,3 +159,83 @@ class TestSemsegWindowMode:
         np.testing.assert_allclose(
             np.asarray(out_p), np.asarray(want), atol=1e-5
         )
+
+
+class TestWindowedTransitionAttention:
+    """Banded fused attention vs the identical-math XLA reference, on
+    window-constrained idx (the only idx it is defined for)."""
+
+    def _case(self, S=96, N=96, sq=32, K=4, C=8, nB=2, seed=0, with_shifts=True):
+        from mpa_tpu.ops.pallas import window_attention as WA
+
+        spec = WA.make_window_spec(S, N, sq=sq)
+        cloud = _morton_cloud(2, max(S, N), seed=seed)
+        base = cloud[:, :: max(S, N) // N]
+        query = cloud[:, :: max(S, N) // S]
+        idx = WA.windowed_knn_reference(K, base, query, spec)
+
+        r = rng(seed + 1)
+        packed = np.asarray(r.normal(size=(2, N, nB * 2 * C)).astype(np.float32))
+        for b in range(nB):
+            packed[..., 2 * b * C : (2 * b + 1) * C] = np.exp(
+                packed[..., 2 * b * C : (2 * b + 1) * C]
+            )
+        packed = jnp.asarray(packed)
+        shifts = (
+            jnp.asarray(r.normal(size=(2, S, nB * C)).astype(np.float32))
+            if with_shifts
+            else None
+        )
+        return WA, spec, packed, idx, shifts, nB, C
+
+    @pytest.mark.parametrize("with_shifts", [True, False])
+    def test_forward_matches_reference(self, with_shifts):
+        WA, spec, packed, idx, shifts, nB, C = self._case(with_shifts=with_shifts)
+        got = np.asarray(
+            WA.windowed_transition_attention(packed, idx, shifts, nB, C, spec,
+                                             use_pallas=True)
+        )
+        want = np.asarray(WA._xla_reference(packed, idx, shifts, nB, C))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_backward_matches_reference(self):
+        WA, spec, packed, idx, shifts, nB, C = self._case(seed=3)
+        w = jnp.asarray(rng(9).normal(size=(2, idx.shape[1], nB * C)).astype(np.float32))
+
+        def loss(use, p, s):
+            out = WA.windowed_transition_attention(
+                p, idx, s, nB, C, spec, use_pallas=use
+            )
+            return jnp.sum(out * w)
+
+        gp, gs = jax.grad(lambda p, s: loss(True, p, s), argnums=(0, 1))(packed, shifts)
+        wp, ws = jax.grad(lambda p, s: loss(False, p, s), argnums=(0, 1))(packed, shifts)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), atol=1e-5)
+        err = np.abs(np.asarray(gp) - np.asarray(wp))
+        scale = np.abs(np.asarray(wp)).max()
+        # production bf16 scatter: bound against the gradient scale
+        assert float(err.max()) < 0.01 * scale, f"{err.max()} vs {scale}"
+
+    def test_backward_exact_in_hilo(self):
+        from mpa_tpu.ops.pallas import attention_pallas as AP
+
+        WA, spec, packed, idx, shifts, nB, C = self._case(seed=5, with_shifts=False)
+        w = jnp.asarray(rng(4).normal(size=(2, idx.shape[1], nB * C)).astype(np.float32))
+
+        def g(use):
+            return jax.grad(
+                lambda p: jnp.sum(
+                    WA.windowed_transition_attention(
+                        p, idx, None, nB, C, spec, use_pallas=use
+                    ) * w
+                )
+            )(packed)
+
+        orig = AP.GRAD_SCATTER_PRECISION
+        try:
+            AP.GRAD_SCATTER_PRECISION = "hilo"
+            import importlib
+            got = np.asarray(g(True))
+        finally:
+            AP.GRAD_SCATTER_PRECISION = orig
+        np.testing.assert_allclose(got, np.asarray(g(False)), atol=1e-5)
