@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 import jax
 import numpy as np
 
-from mpa_tpu.utils.config import TrainConfig, add_config_flags, config_from_args
+from mpa_tpu.utils.config import TrainConfig, add_config_flags, config_from_args, resolve_config
 from mpa_tpu.utils.logging import make_logger
 from mpa_tpu import train as tr
 from mpa_tpu.models import get_model
@@ -39,9 +39,6 @@ from mpa_tpu.cli.train import load_dataset, batches
 
 
 def main(argv=None):
-    import dataclasses
-    import sys as _sys
-
     parser = argparse.ArgumentParser()
     add_config_flags(parser, TrainConfig())
     parser.add_argument("--preset", type=str, default=None,
@@ -51,29 +48,17 @@ def main(argv=None):
     parser.add_argument("--import_torch", type=str, default=None,
                         help="reference best_model.pth to migrate and "
                              "evaluate (utils/torch_import)")
+    parser.add_argument("--trust_torch_pickle", action="store_true",
+                        help="allow full (arbitrary-code-execution) pickle "
+                             "loading of --import_torch; default is the safe "
+                             "weights-only loader")
     parser.add_argument("--num_repeat", type=int, default=1,
                         help="reference NUM_REPEAT (50 for the published number)")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.preset:
-        from mpa_tpu.configs import get_preset
-
-        base = get_preset(args.preset)
-        passed = {
-            a.split("=")[0].lstrip("-")
-            for a in (argv if argv is not None else _sys.argv[1:])
-            if a.startswith("--")
-        }
-        overrides = {
-            f.name: getattr(args, f.name)
-            for f in dataclasses.fields(base)
-            if f.name in passed and hasattr(args, f.name)
-        }
-        cfg = base.with_overrides(**overrides)
-    else:
-        cfg = config_from_args(args)
+    cfg = resolve_config(parser, args, argv)
     if cfg.task == "partseg" and cfg.model == "markov_cls":
         cfg = cfg.with_overrides(model="markov_partseg")
 
@@ -98,7 +83,8 @@ def main(argv=None):
         task = "partseg" if cfg.task == "partseg" else "cls"
         template = {"params": state.params, "batch_stats": state.batch_stats}
         variables, report = import_reference_checkpoint(
-            args.import_torch, task, template
+            args.import_torch, task, template,
+            allow_pickle=args.trust_torch_pickle,
         )
         state = state.replace(
             params=variables["params"], batch_stats=variables["batch_stats"]

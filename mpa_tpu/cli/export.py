@@ -22,16 +22,15 @@ from mpa_tpu import serve
 from mpa_tpu import train as tr
 from mpa_tpu.models import get_model
 from mpa_tpu.train.checkpoint import BestCheckpointer
-from mpa_tpu.utils.config import TrainConfig, add_config_flags, config_from_args
+from mpa_tpu.utils.config import (
+    TrainConfig, add_config_flags, config_from_args, resolve_config,
+)
 
 NUM_PARTS = 50
 NUM_CATEGORIES = 16
 
 
 def main(argv=None):
-    import dataclasses
-    import sys
-
     parser = argparse.ArgumentParser()
     add_config_flags(parser, TrainConfig())
     parser.add_argument("--preset", type=str, default=None,
@@ -48,23 +47,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.preset:
-        from mpa_tpu.configs import get_preset
-
-        base = get_preset(args.preset)
-        passed = {
-            a.split("=")[0].lstrip("-")
-            for a in (argv if argv is not None else sys.argv[1:])
-            if a.startswith("--")
-        }
-        overrides = {
-            f.name: getattr(args, f.name)
-            for f in dataclasses.fields(base)
-            if f.name in passed and hasattr(args, f.name)
-        }
-        cfg = base.with_overrides(**overrides)
-    else:
-        cfg = config_from_args(args)
+    cfg = resolve_config(parser, args, argv)
 
     B, N = args.serve_batch, cfg.num_points
     if cfg.task == "partseg":

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpa_tpu.utils.config import TrainConfig, add_config_flags, config_from_args
+from mpa_tpu.utils.config import TrainConfig, add_config_flags, config_from_args, resolve_config
 from mpa_tpu.utils.logging import make_logger
 from mpa_tpu.utils.init import set_seed
 from mpa_tpu.utils.profiling import count_params
@@ -173,6 +173,10 @@ def main(argv=None):
     parser.add_argument("--import_torch", type=str, default=None,
                         help="reference best_model.pth to migrate and "
                              "fine-tune from (utils/torch_import)")
+    parser.add_argument("--trust_torch_pickle", action="store_true",
+                        help="allow full (arbitrary-code-execution) pickle "
+                             "loading of --import_torch; default is the safe "
+                             "weights-only loader")
     parser.add_argument("--preset", type=str, default=None,
                         help="named config preset (mpa_tpu.configs); explicit "
                              "flags still override")
@@ -182,26 +186,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.preset:
-        from mpa_tpu.configs import get_preset
-
-        base = get_preset(args.preset)
-        # Apply only flags the user actually passed on top of the preset.
-        passed = {
-            a.split("=")[0].lstrip("-")
-            for a in (argv if argv is not None else sys.argv[1:])
-            if a.startswith("--")
-        }
-        import dataclasses
-
-        overrides = {
-            f.name: getattr(args, f.name)
-            for f in dataclasses.fields(base)
-            if f.name in passed and hasattr(args, f.name)
-        }
-        cfg = base.with_overrides(**overrides)
-    else:
-        cfg = config_from_args(args)
+    cfg = resolve_config(parser, args, argv)
 
     if cfg.model == "markov_cls" and cfg.task != "cls":
         # Task-default model resolution when only --task was given.
@@ -297,7 +282,8 @@ def main(argv=None):
         task = "partseg" if cfg.task == "partseg" else "cls"
         template = {"params": state.params, "batch_stats": state.batch_stats}
         variables, report = import_reference_checkpoint(
-            args.import_torch, task, template
+            args.import_torch, task, template,
+            allow_pickle=args.trust_torch_pickle,
         )
         state = state.replace(
             params=variables["params"], batch_stats=variables["batch_stats"]

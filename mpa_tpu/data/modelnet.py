@@ -7,8 +7,10 @@ per-shape comma-separated .txt of xyz+normal, catfile
 down to ``num_point``, ``use_normals`` channel slice. The reference's pickle
 cache of the processed split (dataset/ModelNetDataLoader.py:60-100) maps to a
 versioned ``.npz`` side-file here (``cache=True``): one array pair instead of
-10k pickled objects, atomic rename, and keyed by every parameter that changes
-the processed output, so a config change never serves stale points.
+10k pickled objects, atomic rename, keyed by every parameter that changes the
+processed output, and carrying a source fingerprint (split-list hash + newest
+source mtime) validated on load — so neither a config change nor an in-place
+dataset update serves stale points.
 """
 
 from __future__ import annotations
@@ -57,6 +59,23 @@ def load_modelnet(
     if limit is not None:
         ids = ids[:limit]
 
+    # The cache validates a stored source fingerprint (hash of the split-list
+    # contents + newest source-file mtime) on load, so fixing/updating dataset
+    # files in place re-parses instead of silently serving stale points
+    # (advisor r1 finding). When the sources are gone (offline/cache-only
+    # deployment), the fingerprint can't be recomputed and the cache is
+    # trusted as-is.
+    import hashlib
+
+    ids_hash = hashlib.sha1("\n".join(ids).encode()).hexdigest()[:10]
+    newest_mtime = 0
+    for shape_id in ids:
+        name = "_".join(shape_id.split("_")[:-1])
+        try:
+            m = os.path.getmtime(os.path.join(root, name, shape_id + ".txt"))
+            newest_mtime = max(newest_mtime, int(m))
+        except OSError:
+            pass
     cache_path = os.path.join(
         root,
         f"mpa_cache_mn{num_category}_{split}_{num_point}pts"
@@ -65,7 +84,13 @@ def load_modelnet(
     )
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
-        return z["points"], z["labels"], classes
+        stored_hash = str(z["ids_hash"]) if "ids_hash" in z else ""
+        stored_mtime = int(z["src_mtime"]) if "src_mtime" in z else -1
+        fresh = stored_hash == ids_hash and (
+            newest_mtime == 0 or stored_mtime >= newest_mtime
+        )
+        if fresh:
+            return z["points"], z["labels"], classes
 
     C = 6 if use_normals else 3
     pts = np.zeros((len(ids), num_point, C), np.float32)
@@ -86,7 +111,10 @@ def load_modelnet(
     if cache:
         try:
             tmp = cache_path + ".tmp.npz"
-            np.savez(tmp, points=pts, labels=labels)
+            np.savez(
+                tmp, points=pts, labels=labels,
+                ids_hash=ids_hash, src_mtime=newest_mtime,
+            )
             os.replace(tmp, cache_path)
         except OSError:
             pass  # read-only dataset root: run uncached

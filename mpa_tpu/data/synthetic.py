@@ -4,7 +4,7 @@ their files exist."""
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -28,6 +28,143 @@ def synthetic_clouds(
     ).astype(np.float32)
     pts = pts * scales[:, None, :] * 0.2
     return pts, labels.astype(np.int64)
+
+
+# --- realistic primitive-composed clouds ------------------------------------
+#
+# The toy generators above separate in a handful of steps, which makes loss
+# curves flat-line immediately — useless for multi-hundred-step training-curve
+# equivalence (VERDICT r1 item 1). These generators compose each class/part
+# from randomized-but-class-fixed surface primitives so classification and
+# segmentation stay genuinely hard for hundreds of steps while remaining fully
+# learnable and exactly reproducible from the seed on both torch and jax sides.
+
+
+def _unit_primitive(rng: np.random.Generator, kind: int, n: int) -> np.ndarray:
+    """n points on a canonical unit surface primitive; kind in [0, 6)."""
+    if kind == 0:  # sphere surface
+        p = rng.normal(size=(n, 3))
+        return p / (np.linalg.norm(p, axis=-1, keepdims=True) + 1e-9)
+    if kind == 1:  # box surface
+        face = rng.integers(0, 6, size=n)
+        uv = rng.uniform(-1.0, 1.0, size=(n, 2))
+        p = np.empty((n, 3))
+        axis, sign = face % 3, np.where(face < 3, 1.0, -1.0)
+        for a in range(3):
+            m = axis == a
+            cols = [c for c in range(3) if c != a]
+            p[m, a] = sign[m]
+            p[np.ix_(m, cols)] = uv[m]
+        return p
+    if kind == 2:  # cylinder side
+        th = rng.uniform(0, 2 * np.pi, size=n)
+        z = rng.uniform(-1.0, 1.0, size=n)
+        return np.stack([np.cos(th), np.sin(th), z], axis=-1)
+    if kind == 3:  # cone
+        z = rng.uniform(0.0, 1.0, size=n)
+        th = rng.uniform(0, 2 * np.pi, size=n)
+        r = 1.0 - z
+        return np.stack([r * np.cos(th), r * np.sin(th), 2 * z - 1], axis=-1)
+    if kind == 4:  # torus (R=1, r=0.35)
+        u = rng.uniform(0, 2 * np.pi, size=n)
+        v = rng.uniform(0, 2 * np.pi, size=n)
+        w = 1.0 + 0.35 * np.cos(v)
+        return np.stack([w * np.cos(u), w * np.sin(u), 0.35 * np.sin(v)], axis=-1)
+    # kind == 5: flat disc
+    r = np.sqrt(rng.uniform(0, 1, size=n))
+    th = rng.uniform(0, 2 * np.pi, size=n)
+    return np.stack([r * np.cos(th), r * np.sin(th), np.zeros(n)], axis=-1)
+
+
+def _rotation_z(theta: float) -> np.ndarray:
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _class_spec(class_seed: int, num_prims: int):
+    """Fixed-per-class primitive layout: (kind, offset, per-axis scale, rot)."""
+    rng = np.random.default_rng(class_seed)
+    spec = []
+    for _ in range(num_prims):
+        kind = int(rng.integers(0, 6))
+        offset = rng.uniform(-0.55, 0.55, size=3)
+        scale = rng.uniform(0.2, 0.6, size=3)
+        rot = _rotation_z(float(rng.uniform(0, 2 * np.pi)))
+        spec.append((kind, offset, scale, rot))
+    return spec
+
+
+def _compose_cloud(
+    rng: np.random.Generator,
+    spec,
+    num_points: int,
+    weights: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample a cloud from a class spec; returns (points, per-point prim id).
+    Applies per-cloud random z-rotation, uniform scale, jitter, and the
+    reference's pc_normalize (center + unit max radius)."""
+    k = len(spec)
+    if weights is None:
+        weights = np.full(k, 1.0 / k)
+    counts = np.maximum(1, (weights * num_points).astype(int))
+    counts[0] += num_points - counts.sum()
+    parts, ids = [], []
+    for j, ((kind, offset, scale, rot), c) in enumerate(zip(spec, counts)):
+        p = _unit_primitive(rng, kind, c) * scale @ rot.T + offset
+        parts.append(p)
+        ids.append(np.full(c, j, dtype=np.int64))
+    pts = np.concatenate(parts, axis=0)
+    pid = np.concatenate(ids, axis=0)
+    perm = rng.permutation(num_points)
+    pts, pid = pts[perm], pid[perm]
+    pts = pts @ _rotation_z(float(rng.uniform(0, 2 * np.pi))).T
+    pts = pts * float(rng.uniform(0.9, 1.1))
+    pts = pts + rng.normal(scale=0.01, size=pts.shape)
+    pts = pts - pts.mean(axis=0, keepdims=True)
+    pts = pts / (np.max(np.linalg.norm(pts, axis=-1)) + 1e-9)
+    return pts.astype(np.float32), pid
+
+
+def realistic_clouds(
+    num: int, num_points: int = 1024, num_classes: int = 15, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Class-conditional composed-primitive classification clouds: each class
+    is a fixed arrangement of 3 randomized primitives; per-cloud pose/scale/
+    jitter randomization keeps the task hard for hundreds of training steps."""
+    specs = [_class_spec(1000 + c, 3) for c in range(num_classes)]
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, size=(num,))
+    pts = np.empty((num, num_points, 3), dtype=np.float32)
+    for i in range(num):
+        pts[i], _ = _compose_cloud(rng, specs[labels[i]], num_points)
+    return pts, labels.astype(np.int64)
+
+
+def realistic_partseg(
+    num: int,
+    num_points: int = 2048,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Composed-primitive part segmentation with the REAL ShapeNetPart label
+    layout (16 categories / 50 global parts, data/shapenetpart.py SEG_PARTS):
+    category c's shape is one primitive per part, each labeled with that
+    category's global part ids. Returns (points, category, per-point labels)."""
+    from mpa_tpu.data.shapenetpart import SEG_PARTS
+
+    specs = [_class_spec(2000 + c, len(parts)) for c, parts in enumerate(SEG_PARTS)]
+    rng = np.random.default_rng(seed)
+    cats = rng.integers(0, len(SEG_PARTS), size=(num,))
+    pts = np.empty((num, num_points, 3), dtype=np.float32)
+    labels = np.empty((num, num_points), dtype=np.int64)
+    for i in range(num):
+        c = int(cats[i])
+        part_ids = np.asarray(SEG_PARTS[c])
+        w = rng.dirichlet(np.full(len(part_ids), 6.0))
+        w = 0.05 + 0.95 * w  # every part keeps >=5% of the points
+        w = w / w.sum()
+        pts[i], pid = _compose_cloud(rng, specs[c], num_points, weights=w)
+        labels[i] = part_ids[pid]
+    return pts, cats.astype(np.int64), labels
 
 
 def synthetic_partseg(

@@ -104,7 +104,13 @@ class LocalMerge(nn.Module):
             )(feature, center_feat, idx, train=train, window_spec=wspec)
             return out, idx, dist
         # Feature-space kNN: neighbours of the coarse features among the fine.
-        _, idx_feat, wspec_f = self._knn(self.num_neighbors, feature, center_feat)
+        # Always exact, even in window mode: the Morton band is a SPATIAL
+        # locality contract; feature-space neighbours have no reason to lie in
+        # a spatial index band, so banding this search would be a qualitatively
+        # stronger approximation than the documented spatial windowing
+        # (advisor r1 finding, ADVICE.md).
+        _, idx_feat = knn(self.num_neighbors, feature, center_feat)
+        wspec_f = None
 
         trans1 = LocalTrans(
             self.out_channels,

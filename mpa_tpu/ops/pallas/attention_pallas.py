@@ -329,8 +329,12 @@ def _pick_small_tile(N: int, K: int, W: int) -> int:
     return st
 
 
-@functools.partial(jax.jit, static_argnames=("n_branches", "c"))
-def _fused_small_fwd(packed, idx, shifts, n_branches: int, c: int):
+@functools.partial(
+    jax.jit, static_argnames=("n_branches", "c", "gather_precision")
+)
+def _fused_small_fwd(
+    packed, idx, shifts, n_branches: int, c: int, gather_precision: str
+):
     B, N, W = packed.shape
     S, K = idx.shape[1], idx.shape[2]
     Npad = _round_up(N, 128)
@@ -346,7 +350,7 @@ def _fused_small_fwd(packed, idx, shifts, n_branches: int, c: int):
     idx_i32 = idx.astype(jnp.int32)
     kern = functools.partial(
         _fused_small_fwd_kernel, n_branches=n_branches, c=c,
-        has_shift=has_shift, gather_precision=GATHER_PRECISION,
+        has_shift=has_shift, gather_precision=gather_precision,
     )
     vec_spec = pl.BlockSpec(
         (1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
@@ -365,8 +369,14 @@ def _fused_small_fwd(packed, idx, shifts, n_branches: int, c: int):
     return ctx[:, :S]
 
 
-@functools.partial(jax.jit, static_argnames=("n_branches", "c"))
-def _fused_small_bwd(packed, idx, shifts, gctx, n_branches: int, c: int):
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_branches", "c", "gather_precision", "scatter_precision"),
+)
+def _fused_small_bwd(
+    packed, idx, shifts, gctx, n_branches: int, c: int,
+    gather_precision: str, scatter_precision: str,
+):
     B, N, W = packed.shape
     S, K = idx.shape[1], idx.shape[2]
     Npad = _round_up(N, 128)
@@ -385,8 +395,8 @@ def _fused_small_bwd(packed, idx, shifts, gctx, n_branches: int, c: int):
     idx_i32 = idx.astype(jnp.int32)
     kern = functools.partial(
         _fused_small_bwd_kernel, n_branches=n_branches, c=c,
-        has_shift=has_shift, gather_precision=GATHER_PRECISION,
-        scatter_precision=GRAD_SCATTER_PRECISION,
+        has_shift=has_shift, gather_precision=gather_precision,
+        scatter_precision=scatter_precision,
     )
     vec_spec = pl.BlockSpec(
         (1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
@@ -454,8 +464,14 @@ def _fwd_pallas(G, shifts, n_branches: int, c: int):
     return ctx[:, :S]
 
 
-@functools.partial(jax.jit, static_argnames=("n_points", "n_branches", "c"))
-def _bwd_scatter_pallas(G, shifts, gctx, idx, n_points: int, n_branches: int, c: int):
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_points", "n_branches", "c", "scatter_precision"),
+)
+def _bwd_scatter_pallas(
+    G, shifts, gctx, idx, n_points: int, n_branches: int, c: int,
+    scatter_precision: str,
+):
     """Fused backward: (dpacked [B, n_points, W] f32, dshift [B, S, nB*C])."""
     B, S, K, W = G.shape
     Npad = _round_up(n_points, 128)
@@ -463,7 +479,7 @@ def _bwd_scatter_pallas(G, shifts, gctx, idx, n_points: int, n_branches: int, c:
     # attention backward (G, V, dw/dV/dattn/dE chains, dG) plus the
     # [K, Npad] mask row; fixed: the [Npad, W] f32 accumulator. Budget well
     # under the 16MB scoped limit (double-buffered input blocks ride on top).
-    bytes_per = 2 if GRAD_SCATTER_PRECISION == "bf16" else 4
+    bytes_per = 2 if scatter_precision == "bf16" else 4
     budget = 10 * 1024 * 1024 - Npad * W * 4
     per_row = K * (W * 4 * 8 + Npad * bytes_per)
     bound = max(8, min(512, budget // per_row))
@@ -484,7 +500,7 @@ def _bwd_scatter_pallas(G, shifts, gctx, idx, n_points: int, n_branches: int, c:
     idx_i32 = idx.astype(jnp.int32)
     kern = functools.partial(
         _bwd_scatter_kernel, n_branches=n_branches, c=c,
-        precision=GRAD_SCATTER_PRECISION, has_shift=has_shift,
+        precision=scatter_precision, has_shift=has_shift,
     )
     vec_spec = pl.BlockSpec(
         (1, St, n_branches * c), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
@@ -551,8 +567,14 @@ def _use_small_path(packed) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention_pallas(packed, idx, shifts, n_branches: int, c: int):
+    # The module-level precision knobs are read HERE (trace time of the
+    # caller) and threaded to the inner jits as static args, so the inner-jit
+    # caches key on them and flipping a knob always retraces (advisor r1).
     if _use_small_path(packed):
-        return _fused_small_fwd(jax.lax.stop_gradient(packed), idx, shifts, n_branches, c)
+        return _fused_small_fwd(
+            jax.lax.stop_gradient(packed), idx, shifts, n_branches, c,
+            gather_precision=GATHER_PRECISION,
+        )
     G = _gather(jax.lax.stop_gradient(packed), idx)
     return _fwd_pallas(G, shifts, n_branches, c)
 
@@ -560,7 +582,10 @@ def _attention_pallas(packed, idx, shifts, n_branches: int, c: int):
 def _attention_fwd(packed, idx, shifts, n_branches: int, c: int):
     if _use_small_path(packed):
         # No edge-tensor residual: the backward re-gathers in VMEM.
-        ctx = _fused_small_fwd(packed, idx, shifts, n_branches, c)
+        ctx = _fused_small_fwd(
+            packed, idx, shifts, n_branches, c,
+            gather_precision=GATHER_PRECISION,
+        )
         return ctx, (packed, idx, shifts, None)
     G = _gather(packed, idx)
     # n_points rides on packed's static shape; XLA DCEs the values.
@@ -570,10 +595,15 @@ def _attention_fwd(packed, idx, shifts, n_branches: int, c: int):
 def _attention_bwd(n_branches: int, c: int, res, g):
     packed, idx, shifts, G = res
     if G is None:
-        dpacked, dshift = _fused_small_bwd(packed, idx, shifts, g, n_branches, c)
+        dpacked, dshift = _fused_small_bwd(
+            packed, idx, shifts, g, n_branches, c,
+            gather_precision=GATHER_PRECISION,
+            scatter_precision=GRAD_SCATTER_PRECISION,
+        )
         return dpacked.astype(packed.dtype), None, dshift
     dpacked, dshift = _bwd_scatter_pallas(
-        G, shifts, g, idx, packed.shape[1], n_branches, c
+        G, shifts, g, idx, packed.shape[1], n_branches, c,
+        scatter_precision=GRAD_SCATTER_PRECISION,
     )
     return dpacked.astype(G.dtype), None, dshift
 

@@ -85,3 +85,52 @@ def config_from_args(args, base: Optional[TrainConfig] = None) -> TrainConfig:
         if hasattr(args, f.name)
     }
     return base.with_overrides(**kw)
+
+
+def explicitly_passed(parser, argv) -> set:
+    """Dests the user explicitly passed on the command line.
+
+    Re-parses ``argv`` against a shadow parser whose defaults are all
+    ``SUPPRESS``, so argparse itself resolves canonical option strings —
+    including prefix abbreviations (``--num_point`` for ``--num_points``),
+    which naive raw-argv string matching misses (advisor r1 finding).
+    """
+    import argparse
+
+    aux = argparse.ArgumentParser(add_help=False)
+    for action in parser._actions:
+        if not action.option_strings or isinstance(action, argparse._HelpAction):
+            continue
+        if action.nargs == 0:  # store_true / store_false / count
+            aux.add_argument(
+                *action.option_strings, dest=action.dest,
+                action="store_const", const=True, default=argparse.SUPPRESS,
+            )
+        else:
+            aux.add_argument(
+                *action.option_strings, dest=action.dest,
+                nargs=action.nargs, default=argparse.SUPPRESS,
+            )
+    ns, _ = aux.parse_known_args(argv)
+    return set(vars(ns))
+
+
+def resolve_config(parser, args, argv=None) -> TrainConfig:
+    """Final TrainConfig from parsed ``args`` + optional ``--preset``:
+    the preset supplies the base and only explicitly-passed flags override it
+    (one shared implementation for the train/eval/export CLIs)."""
+    import sys
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if getattr(args, "preset", None):
+        from mpa_tpu.configs import get_preset
+
+        base = get_preset(args.preset)
+        passed = explicitly_passed(parser, argv)
+        overrides = {
+            f.name: getattr(args, f.name)
+            for f in dataclasses.fields(base)
+            if f.name in passed and hasattr(args, f.name)
+        }
+        return base.with_overrides(**overrides)
+    return config_from_args(args)

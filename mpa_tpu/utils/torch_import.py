@@ -216,10 +216,29 @@ def import_partseg_state_dict(ckpt: Any, template_variables: Any) -> Tuple[dict,
     return {"params": params, "batch_stats": stats}, report
 
 
-def import_reference_checkpoint(path: str, task: str, template_variables: Any):
-    """Load a reference ``best_model.pth`` and map it. task: 'cls'|'partseg'."""
+def import_reference_checkpoint(
+    path: str, task: str, template_variables: Any, allow_pickle: bool = False
+):
+    """Load a reference ``best_model.pth`` and map it. task: 'cls'|'partseg'.
+
+    Loads with ``weights_only=True``: the reference payload is a plain dict of
+    tensors + ints (tool/train_cls_scanobjectnn.py:295-304) and needs no
+    unpickling. Checkpoints are third-party files — full pickle loading is
+    arbitrary code execution and only happens behind an explicit
+    ``allow_pickle=True`` opt-in, with a warning.
+    """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if allow_pickle:
+        import warnings
+
+        warnings.warn(
+            "allow_pickle=True executes arbitrary code embedded in the "
+            "checkpoint; only use on checkpoints you trust.",
+            stacklevel=2,
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
     fn = {"cls": import_cls_state_dict, "partseg": import_partseg_state_dict}[task]
     return fn(ckpt, template_variables)

@@ -137,6 +137,35 @@ class TestModelNet:
         assert pts3.shape[1] == 48
         assert len(glob.glob(os.path.join(str(modelnet_root), "mpa_cache_*_48pts_*.npz"))) == 1
 
+    def test_cache_invalidated_by_source_update(self, modelnet_root):
+        """In-place dataset edits must re-parse, not serve stale cache
+        (advisor r1 finding): the cache stores a source fingerprint
+        (split-hash + newest mtime) and validates it on load."""
+        import os
+        import time
+
+        pts1, _, _ = load_modelnet(modelnet_root, "train", 40, num_point=96)
+        # "Fix" one shape in place: rewrite with doubled coordinates and bump
+        # its mtime past the cached fingerprint.
+        path = os.path.join(str(modelnet_root), "airplane", "airplane_0000.txt")
+        rows = [line.strip().split(",") for line in open(path)]
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(",".join(str(2 * float(v)) for v in r) + "\n")
+        future = time.time() + 10
+        os.utime(path, (future, future))
+        pts2, _, _ = load_modelnet(modelnet_root, "train", 40, num_point=96)
+        # pc_normalize makes uniform scaling invisible; the re-parse is
+        # observable because FPS/head selection sees identical normalized
+        # points — so instead check the cache file was rewritten (fingerprint
+        # advanced past the touched mtime).
+        import glob
+
+        cache = glob.glob(os.path.join(str(modelnet_root), "mpa_cache_*_96pts_*.npz"))[0]
+        z = np.load(cache)
+        assert int(z["src_mtime"]) >= int(future) - 1
+        np.testing.assert_array_equal(pts1, pts2)  # scaling normalized away
+
 
 class TestShapeNetPart:
     def test_dataset_items(self, shapenet_root):
