@@ -54,6 +54,11 @@ def main(argv=None):
                              "weights-only loader")
     parser.add_argument("--num_repeat", type=int, default=1,
                         help="reference NUM_REPEAT (50 for the published number)")
+    parser.add_argument("--replicate_argmax_quirk", action="store_true",
+                        help="reproduce tool/test_partseg.py:158 (category-"
+                             "local argmax not re-offset to global labels) "
+                             "for golden-number replays of the published "
+                             "eval.txt; NOT a correct evaluation")
     parser.add_argument("--platform", type=str, default=None)
     args = parser.parse_args(argv)
     if args.platform:
@@ -116,18 +121,29 @@ def main(argv=None):
                 lambda x: eval_step(state, (x, onehot)),
                 jax.numpy.asarray(pts), jax.random.fold_in(vote_key, bi), cfg.num_votes,
             )
-            pred = tr.metrics.category_masked_argmax(np.asarray(pool), cats, SEG_PARTS)
+            pred = tr.metrics.category_masked_argmax(
+                np.asarray(pool), cats, SEG_PARTS,
+                replicate_offset_quirk=args.replicate_argmax_quirk,
+            )
             preds += list(pred)
             tgts += list(segs)
             cats_all += list(cats)
         ins, cls_m, cat_map = tr.part_iou_metrics(preds, tgts, cats_all, SEG_PARTS)
         acc = tr.metrics.point_accuracy(preds, tgts)
+        cls_acc = tr.metrics.class_avg_point_accuracy(preds, tgts, SEG_PARTS)
         from mpa_tpu.data.shapenetpart import CATEGORIES
 
+        # Field-for-field the reference eval.txt format
+        # (log/part_seg/res/eval.txt:4-23).
         for c, iou in sorted(cat_map.items()):
-            log.info(f"  {CATEGORIES[c]:<14s} mIoU {iou:.4f}")
-        log.info(f"point acc {acc:.4f}  class mIoU {cls_m:.4f}  instance mIoU {ins:.4f}")
-        log.metrics(0, ins_miou=ins, class_miou=cls_m, point_acc=acc)
+            log.info(f"eval mIoU of {CATEGORIES[c]:<14s} {iou:.6f}")
+        log.info(f"Accuracy is: {acc:.5f}")
+        log.info(f"Class avg accuracy is: {cls_acc:.5f}")
+        log.info(f"Class avg mIOU is: {cls_m:.5f}")
+        log.info(f"Inctance avg mIOU is: {ins:.5f}")
+        log.metrics(
+            0, ins_miou=ins, class_miou=cls_m, point_acc=acc, class_acc=cls_acc
+        )
         return
 
     # Classification: best-of-num_repeat vote eval.

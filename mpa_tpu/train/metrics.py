@@ -37,18 +37,29 @@ def class_average_accuracy(
 
 
 def category_masked_argmax(
-    logits: np.ndarray, category: np.ndarray, seg_parts: Sequence[Sequence[int]]
+    logits: np.ndarray,
+    category: np.ndarray,
+    seg_parts: Sequence[Sequence[int]],
+    replicate_offset_quirk: bool = False,
 ) -> np.ndarray:
     """Argmax restricted to each shape's category part labels.
 
     logits ``[B, N, P]``, category ``[B]`` int (index into seg_parts).
     Returns global part labels ``[B, N]``.
+
+    ``replicate_offset_quirk=True`` reproduces the reference eval bug at
+    tool/test_partseg.py:158: the in-category argmax is NOT re-offset to
+    global labels (``+ seg_classes[cat][0]`` is commented out there), so
+    predictions are category-LOCAL indices compared against global targets.
+    The published eval.txt numbers came from that exact script — use the
+    quirk only for golden-number replays, never for real evaluation.
     """
     B, N, P = logits.shape
     out = np.zeros((B, N), dtype=np.int64)
     for b in range(B):
         parts = np.asarray(seg_parts[category[b]])
-        out[b] = parts[np.argmax(logits[b][:, parts], axis=-1)]
+        local = np.argmax(logits[b][:, parts], axis=-1)
+        out[b] = local if replicate_offset_quirk else parts[local]
     return out
 
 
@@ -93,3 +104,25 @@ def point_accuracy(preds: List[np.ndarray], targets: List[np.ndarray]) -> float:
     correct = sum(int(np.sum(p == t)) for p, t in zip(preds, targets))
     total = sum(p.size for p in preds)
     return correct / total if total else 0.0
+
+
+def class_avg_point_accuracy(
+    preds: List[np.ndarray],
+    targets: List[np.ndarray],
+    seg_parts: Sequence[Sequence[int]],
+) -> float:
+    """Reference's "Class avg accuracy": mean over global PART labels of
+    per-part recall (tool/test_partseg.py:164-167,194-195 — accumulated over
+    ``num_part`` labels, not per category). Part labels never seen in the
+    targets are skipped (the reference would divide by zero there; on the
+    full test set every part occurs, so the protocols agree)."""
+    num_parts = max(p for parts in seg_parts for p in parts) + 1
+    seen = np.zeros(num_parts, dtype=np.int64)
+    correct = np.zeros(num_parts, dtype=np.int64)
+    for pred, target in zip(preds, targets):
+        for lab in np.unique(target):
+            mask = target == lab
+            seen[lab] += int(np.sum(mask))
+            correct[lab] += int(np.sum(pred[mask] == lab))
+    valid = seen > 0
+    return float(np.mean(correct[valid] / seen[valid])) if valid.any() else 0.0

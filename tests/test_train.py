@@ -109,6 +109,30 @@ class TestMetrics:
         out = tr.metrics.category_masked_argmax(logits, cats, [[0, 1], [2, 3, 4]])
         assert out[0, 0] == 1 and out[0, 1] in (0, 1)
 
+    def test_category_masked_argmax_offset_quirk(self):
+        # replicate_offset_quirk reproduces tool/test_partseg.py:158: the
+        # in-category argmax stays category-LOCAL (no + seg_classes[cat][0]).
+        logits = np.zeros((1, 2, 5))
+        cats = np.array([1])  # cat 1 owns global parts [2, 3, 4]
+        logits[0, 0, 3] = 5.0  # local index 1
+        logits[0, 1, 4] = 5.0  # local index 2
+        seg_parts = [[0, 1], [2, 3, 4]]
+        good = tr.metrics.category_masked_argmax(logits, cats, seg_parts)
+        quirk = tr.metrics.category_masked_argmax(
+            logits, cats, seg_parts, replicate_offset_quirk=True)
+        assert good[0].tolist() == [3, 4]
+        assert quirk[0].tolist() == [1, 2]
+
+    def test_class_avg_point_accuracy(self):
+        # Reference protocol: mean over PART labels of per-part recall
+        # (tool/test_partseg.py:164-167,194-195).
+        seg_parts = [[0, 1], [2]]
+        preds = [np.array([0, 1, 1, 2])]
+        tgts = [np.array([0, 0, 1, 2])]
+        # part0 recall 1/2, part1 recall 1/1, part2 recall 1/1
+        acc = tr.metrics.class_avg_point_accuracy(preds, tgts, seg_parts)
+        assert abs(acc - np.mean([0.5, 1.0, 1.0])) < 1e-9
+
 
 class TestEndToEnd:
     def test_loss_decreases_on_synthetic(self):
