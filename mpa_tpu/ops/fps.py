@@ -45,6 +45,11 @@ def farthest_point_sample(
       ``[B, npoint]`` int32 indices into N.
     """
     B, N, C = points.shape
+    # Indices are integer outputs: no gradient ever flows through FPS. Stop
+    # gradients at entry so differentiating a model that runs FPS on
+    # param-dependent tensors (feature-space FPS, markov_partseg_fp) does not
+    # ask the Pallas kernel for a JVP rule it cannot have.
+    points = jax.lax.stop_gradient(points)
     if use_pallas is None:
         # N < 256 (one-two lane tiles) trips a Mosaic argmax legalization bug,
         # and the XLA loop is cheap at that size anyway.

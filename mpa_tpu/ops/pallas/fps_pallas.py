@@ -78,26 +78,32 @@ def farthest_point_sample_pallas(
     (designed for small C, e.g. xyz), returns ``[B, npoint]`` int32."""
     B, N, C = points.shape
     Npad = _round_up(N, 128)
+    # B < 8 (a partial sublane tile) trips Mosaic's unimplemented sublane
+    # broadcast on the [B, 1] -> [B, npoint_pad] selects; pad to a full tile
+    # (the sublanes compute in lockstep, so the pad rows cost nothing).
+    Bpad = max(B, 8)
     pts_t = jnp.transpose(points.astype(jnp.float32), (2, 0, 1))  # [C, B, N]
-    if Npad != N:
-        pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, Npad - N)))
+    if Npad != N or Bpad != B:
+        pts_t = jnp.pad(pts_t, ((0, 0), (0, Bpad - B), (0, Npad - N)))
 
     if key is not None:
         first = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
     else:
         first = jnp.full((B,), start_idx, dtype=jnp.int32)
+    if Bpad != B:
+        first = jnp.pad(first, (0, Bpad - B))
 
     npoint_pad = _round_up(npoint, 128)
     kernel = functools.partial(_fps_kernel, npoint=npoint, n_valid=N)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec((C, B, Npad), lambda i, first: (0, 0, 0))],
-        out_specs=pl.BlockSpec((B, npoint_pad), lambda i, first: (0, 0)),
+        in_specs=[pl.BlockSpec((C, Bpad, Npad), lambda i, first: (0, 0, 0))],
+        out_specs=pl.BlockSpec((Bpad, npoint_pad), lambda i, first: (0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, npoint_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Bpad, npoint_pad), jnp.int32),
     )(first, pts_t)
-    return out[:, :npoint]
+    return out[:B, :npoint]

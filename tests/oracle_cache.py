@@ -60,7 +60,7 @@ def oracle(name: str, builder: Callable[[], Mapping]) -> Dict[str, np.ndarray]:
             return {k: z[k] for k in z.files}
     flat = _flatten(builder())
     FIXTURE_DIR.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(".npz.tmp")
+    tmp = path.with_name(path.stem + ".tmp.npz")  # savez appends .npz otherwise
     np.savez_compressed(tmp, **flat)
     os.replace(tmp, path)
     return flat

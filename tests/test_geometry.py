@@ -1,5 +1,7 @@
 """L1 geometry tests: unit checks + golden parity against the reference's
-torch implementations (loaded via tests/ref_oracle.py)."""
+torch implementations, frozen as npz fixtures (tests/fixtures/geometry.npz;
+regenerate against /root/reference with MPA_REGEN_ORACLES=1 — see
+tests/torch_side/geometry.py for the oracle builder)."""
 
 import os
 import sys
@@ -7,14 +9,20 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
-import torch
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ref_oracle import load_reference  # noqa: E402
+from oracle_cache import oracle  # noqa: E402
 
-from mpa_tpu import geometry, ops  # noqa: E402
+from mpa_tpu import geometry  # noqa: E402
 
-REF = load_reference()
+
+def _builder():
+    from torch_side.geometry import geometry_fixture
+    return geometry_fixture()
+
+
+def fx():
+    return oracle("geometry", _builder)
 
 
 def rng(seed=0):
@@ -23,10 +31,9 @@ def rng(seed=0):
 
 class TestXyz2Sphere:
     def test_golden_parity(self):
-        x = rng(0).normal(size=(2, 32, 3)).astype(np.float32)
-        got = np.asarray(geometry.xyz2sphere(jnp.asarray(x)))
-        want = REF["polar_utils"].xyz2sphere(torch.from_numpy(x)).numpy()
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        f = fx()
+        got = np.asarray(geometry.xyz2sphere(jnp.asarray(f["sphere/x"])))
+        np.testing.assert_allclose(got, f["sphere/want"], atol=1e-5)
 
     def test_zero_point_no_nan(self):
         x = jnp.zeros((1, 4, 3))
@@ -41,32 +48,25 @@ class TestXyz2Sphere:
 
 class TestXyz2Cylind:
     def test_golden_parity(self):
-        x = rng(1).normal(size=(2, 16, 3)).astype(np.float32)
-        got = np.asarray(geometry.xyz2cylind(jnp.asarray(x)))
-        want = REF["polar_utils"].xyz2cylind(torch.from_numpy(x)).numpy()
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        f = fx()
+        got = np.asarray(geometry.xyz2cylind(jnp.asarray(f["cylind/x"])))
+        np.testing.assert_allclose(got, f["cylind/want"], atol=1e-5)
 
 
 class TestCalNormal:
     def test_golden_parity_group(self):
-        tri = rng(2).normal(size=(2, 8, 4, 3, 3)).astype(np.float32)
-        got = np.asarray(geometry.cal_normal(jnp.asarray(tri), is_group=True))
-        want = (
-            REF["recons_utils"]
-            .cal_normal(torch.from_numpy(tri), random_inv=False, is_group=True)
-            .numpy()
+        f = fx()
+        got = np.asarray(
+            geometry.cal_normal(jnp.asarray(f["normal_group/tri"]), is_group=True)
         )
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        np.testing.assert_allclose(got, f["normal_group/want"], atol=1e-5)
 
     def test_golden_parity_nongroup(self):
-        tri = rng(3).normal(size=(2, 8, 3, 3)).astype(np.float32)
-        got = np.asarray(geometry.cal_normal(jnp.asarray(tri), is_group=False))
-        want = (
-            REF["recons_utils"]
-            .cal_normal(torch.from_numpy(tri), random_inv=False, is_group=False)
-            .numpy()
+        f = fx()
+        got = np.asarray(
+            geometry.cal_normal(jnp.asarray(f["normal_nongroup/tri"]), is_group=False)
         )
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        np.testing.assert_allclose(got, f["normal_nongroup/want"], atol=1e-5)
 
     def test_unit_norm(self):
         tri = jnp.asarray(rng(4).normal(size=(1, 6, 3, 3)).astype(np.float32))
@@ -88,52 +88,34 @@ class TestCalNormal:
 
 class TestCalCenterConstArea:
     def test_center_golden(self):
-        tri = rng(6).normal(size=(2, 8, 4, 3, 3)).astype(np.float32)
-        got = np.asarray(geometry.cal_center(jnp.asarray(tri)))
-        want = REF["recons_utils"].cal_center(torch.from_numpy(tri)).numpy()
-        np.testing.assert_allclose(got, want, atol=1e-6)
+        f = fx()
+        got = np.asarray(geometry.cal_center(jnp.asarray(f["center/tri"])))
+        np.testing.assert_allclose(got, f["center/want"], atol=1e-6)
 
     def test_const_golden(self):
-        r = rng(7)
-        n = r.normal(size=(2, 8, 3)).astype(np.float32)
-        c = r.normal(size=(2, 8, 3)).astype(np.float32)
-        got = np.asarray(geometry.cal_const(jnp.asarray(n), jnp.asarray(c)))
-        want = (
-            REF["recons_utils"]
-            .cal_const(torch.from_numpy(n), torch.from_numpy(c))
-            .numpy()
+        f = fx()
+        got = np.asarray(
+            geometry.cal_const(jnp.asarray(f["const/n"]), jnp.asarray(f["const/c"]))
         )
-        np.testing.assert_allclose(got, want, atol=1e-6)
+        np.testing.assert_allclose(got, f["const/want"], atol=1e-6)
 
     def test_area_golden(self):
-        tri = rng(8).normal(size=(2, 6, 3, 3)).astype(np.float32)
-        got = np.asarray(geometry.cal_area(jnp.asarray(tri)))
-        want = REF["recons_utils"].cal_area(torch.from_numpy(tri)).numpy()
-        np.testing.assert_allclose(got, want, atol=1e-4)
+        f = fx()
+        got = np.asarray(geometry.cal_area(jnp.asarray(f["area/tri"])))
+        np.testing.assert_allclose(got, f["area/want"], atol=1e-4)
 
 
 class TestCheckNanUmbrella:
     def test_golden_parity(self):
-        r = rng(9)
-        B, N, G = 2, 6, 4
-        normal = r.normal(size=(B, N, G, 3)).astype(np.float32)
-        center = r.normal(size=(B, N, G, 3)).astype(np.float32)
-        pos = r.normal(size=(B, N, G, 1)).astype(np.float32)
-        # Poison some fans (keep fan 1 valid so repair has a source).
-        normal[0, 2, 0] = np.nan
-        normal[1, 4, 2] = np.nan
-        normal[1, 4, 3] = np.nan
+        f = fx()
         gn, gc, gp = geometry.check_nan_umbrella(
-            jnp.asarray(normal), jnp.asarray(center), jnp.asarray(pos)
+            jnp.asarray(f["nan_umb/normal"]),
+            jnp.asarray(f["nan_umb/center"]),
+            jnp.asarray(f["nan_umb/pos"]),
         )
-        wn, wc, wp = REF["recons_utils"].check_nan_umb(
-            torch.from_numpy(normal.copy()),
-            torch.from_numpy(center.copy()),
-            torch.from_numpy(pos.copy()),
-        )
-        np.testing.assert_allclose(np.asarray(gn), wn.numpy(), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(gc), wc.numpy(), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(gp), wp.numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gn), f["nan_umb/want_normal"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gc), f["nan_umb/want_center"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gp), f["nan_umb/want_pos"], atol=1e-6)
 
     def test_all_finite_after_repair(self):
         normal = np.ones((1, 3, 4, 3), np.float32)
@@ -145,14 +127,10 @@ class TestCheckNanUmbrella:
 
 class TestGroupByUmbrella:
     def test_golden_parity(self):
-        x = rng(10).normal(size=(2, 24, 3)).astype(np.float32)
-        got = np.asarray(geometry.group_by_umbrella(jnp.asarray(x), jnp.asarray(x), k=7))
-        want = (
-            REF["pointnet2_utils"]
-            .group_by_umbrella(torch.from_numpy(x), torch.from_numpy(x), k=7)
-            .numpy()
-        )
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        f = fx()
+        x = jnp.asarray(f["umbrella/x"])
+        got = np.asarray(geometry.group_by_umbrella(x, x, k=7))
+        np.testing.assert_allclose(got, f["umbrella/want"], atol=1e-5)
 
     def test_triangle_structure(self):
         x = jnp.asarray(rng(11).normal(size=(1, 16, 3)).astype(np.float32))

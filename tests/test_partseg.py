@@ -8,19 +8,15 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
-import torch
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ref_oracle import load_reference  # noqa: E402
+from oracle_cache import oracle, subtree  # noqa: E402
 
 from mpa_tpu import ops, train as tr  # noqa: E402
 from mpa_tpu.nn import Fuse, compose_fps_chain, PointNetFeaturePropagation  # noqa: E402
 from mpa_tpu.models import MarkovPartSeg  # noqa: E402
 from mpa_tpu.data.synthetic import synthetic_partseg  # noqa: E402
 from mpa_tpu.data.shapenetpart import to_categorical, SEG_PARTS  # noqa: E402
-
-REF = load_reference()
-
 
 def rng(seed=0):
     return np.random.default_rng(seed)
@@ -68,32 +64,20 @@ class TestComposeFpsChain:
 
 class TestUpsampleGoldenParity:
     def test_matches_reference_upsample(self):
-        """CPU-adapted oracle of modules/pointnet2_utils.py:13-50 (the
-        torch.cuda.FloatTensor is the only CUDA-ism; semantics unchanged)."""
-        r = rng(2)
-        B, S, K, C, ratio = 2, 8, 4, 5, 2
-        feats = r.normal(size=(B, S, C)).astype(np.float32) + 1.0  # nonzero
-        # distinct idx per row, like a real kNN result
-        idx = np.stack(
-            [
-                np.stack([r.permutation(S * ratio)[:K] for _ in range(S)])
-                for _ in range(B)
-            ]
-        ).astype(np.int64)
+        """Frozen CPU-adapted oracle of modules/pointnet2_utils.py:13-50 (the
+        torch.cuda.FloatTensor is the only CUDA-ism; semantics unchanged).
+        Builder: torch_side.blocks.upsample_fixture."""
+        def build():
+            from torch_side.blocks import upsample_fixture
+            return upsample_fixture()
 
+        f = oracle("partseg_upsample", build)
         got = np.asarray(
-            ops.scatter_mean_upsample(jnp.asarray(feats), jnp.asarray(idx), S * ratio)
+            ops.scatter_mean_upsample(
+                jnp.asarray(f["feats"]), jnp.asarray(f["idx"]), int(f["n_out"])
+            )
         )
-
-        tf, ti = torch.from_numpy(feats), torch.from_numpy(idx)
-        points1 = tf.unsqueeze(-2).repeat(1, 1, K, 1)
-        big = torch.zeros(B, S, S * ratio, C)
-        out = big.scatter_(-2, ti.unsqueeze(-1).repeat(1, 1, 1, C), points1)
-        total = torch.sum(out, dim=1)
-        non_zero = torch.count_nonzero(out[:, :, :, 0], dim=1).unsqueeze(-1).float()
-        non_zero = torch.where(non_zero == 0.0, torch.ones_like(non_zero), non_zero)
-        want = (total / non_zero).numpy()
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        np.testing.assert_allclose(got, f["want"], atol=1e-5)
 
 
 class TestFuse:
@@ -138,38 +122,20 @@ class TestFuse:
 
 class TestFeaturePropagationParity:
     def test_idw_parity(self):
-        torch.manual_seed(11)
-        # mlp list must be non-empty (the reference reuses its last element as
-        # the Linear width); the conv stack itself is never applied in forward.
-        ref = REF["pointnet2_utils"].PointNetFeaturePropagation(16, [16], act=False).eval()
-        r = rng(4)
-        B, N, S, C = 2, 24, 8, 16
-        xyz1 = r.normal(size=(B, N, 3)).astype(np.float32)
-        xyz2 = r.normal(size=(B, S, 3)).astype(np.float32)
-        p2 = r.normal(size=(B, S, C)).astype(np.float32)
-        import test_nn_blocks as helpers
+        def build():
+            from torch_side.blocks import feature_propagation_fixture
+            return feature_propagation_fixture()
 
-        # transplant FIRST (linear_unit_vars randomizes the BN running stats)
-        p, s = helpers.linear_unit_vars(ref.conv)
-        want = (
-            ref(
-                torch.from_numpy(xyz1),
-                torch.from_numpy(xyz2),
-                None,
-                torch.from_numpy(p2),
-            )
-            .detach()
-            .numpy()
-        )
+        f = oracle("partseg_feature_propagation", build)
         fp = PointNetFeaturePropagation(16, act=False)
         got = fp.apply(
-            {"params": {"conv": p}, "batch_stats": {"conv": s}},
-            jnp.asarray(xyz1),
-            jnp.asarray(xyz2),
-            jnp.asarray(p2),
+            subtree(f, "variables"),
+            jnp.asarray(f["xyz1"]),
+            jnp.asarray(f["xyz2"]),
+            jnp.asarray(f["p2"]),
             train=False,
         )
-        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got), f["want"], atol=2e-5)
 
 
 def tiny_partseg(num_parts=8, num_categories=4):

@@ -7,180 +7,62 @@ transplanted, eval mode, deterministic FPS on both sides.
 This exercises end-to-end what the block tests cannot: the mixed pre/post-
 decoder fuse inputs (fuse2..fuse5), the untested fuse targets 1 and 3, the
 decoder upsample-with-encoder-kNN chain, the 576-wide global max-pool concat,
-and the label branch + 896-ch head."""
+and the label branch + 896-ch head.
+
+Torch side frozen into tests/fixtures/partseg_model_forward.npz (builder in
+tests/torch_side/partseg_model.py; regenerate with MPA_REGEN_ORACLES=1)."""
 
 import os
 import sys
 
 import jax.numpy as jnp
 import numpy as np
-import torch
-import torch.nn.functional as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ref_oracle import load_reference, _farthest_point_sample  # noqa: E402
-import test_nn_blocks as H  # noqa: E402
+from oracle_cache import oracle, subtree  # noqa: E402
 
 from mpa_tpu.models import MarkovPartSeg  # noqa: E402
 
-REF = load_reference()
-
+# Mirrors torch_side.partseg_model's transplant target config.
 B, N = 2, 256
 LADDER = (128, 64, 32, 16)  # scaled 2x pyramid (2048-regime: 1024/512/256/128)
 NUM_PARTS, NUM_CATS = 50, 16
 
 
-class _TorchPartSeg(torch.nn.Module):
-    """The reference part-seg get_model rebuilt from its own modules (the file
-    under models/repsurf imports a stale path; the graph is identical —
-    models/repsurf/pointnet2_part_seg_msg.py:33-156)."""
-
-    def __init__(self):
-        super().__init__()
-        ref = REF["pointnet2_utils"]
-        self.keepHigh = ref.KeepHighResolutionModulePartSeg(3, 64, 128, 256, 512, cuda=False)
-        L = ref.Linear
-        self.conv8 = L(896, 512, bn=False)
-        self.conv9 = L(512, 256, bn=False)
-        self.conv10 = L(256, 128, bn=False)
-        self.conv11 = torch.nn.Linear(128, NUM_PARTS)
-        self.drop1 = torch.nn.Dropout(0.5)
-
-    def forward(self, xyz, cls_label):  # xyz [B, 3, N], cls_label [B, 1, 16]
-        _, final = self.keepHigh(xyz, normal=xyz, label=cls_label)
-        x = self.drop1(self.conv8(final))
-        x = self.conv9(x)
-        x = self.conv10(x)
-        return self.conv11(x)
-
-
-def _localmerge_vars(ref_lm, residual, xyz_only=False):
-    params, stats = {}, {}
-    params["xyz_trans"], stats["xyz_trans"] = H.localtrans_vars(ref_lm.xyz_Trans, True)
-    if xyz_only:  # first state: feature=None path uses only the xyz branch
-        return params, stats
-    params["feature_trans"], stats["feature_trans"] = H.localtrans_vars(
-        ref_lm.feature_Trans1, residual
-    )
-    params["feature_trans2"], stats["feature_trans2"] = H.localtrans_vars(
-        ref_lm.feature_Trans2, residual
-    )
-    params["fc2"], stats["fc2"] = H.linear_unit_vars(ref_lm.fc2)
-    return params, stats
-
-
-def _fuse_vars(ref_fuse, t):
-    """Transplant the conv{s}{t} row + conv{t} used by target t."""
-    params, stats = {}, {}
-    for s in range(5):
-        if s == t:
-            continue
-        name = f"conv{s}{t}"
-        params[name], stats[name] = H.linear_unit_vars(getattr(ref_fuse, name))
-    params[f"conv{t}"], stats[f"conv{t}"] = H.linear_unit_vars(getattr(ref_fuse, f"conv{t}"))
-    return params, stats
-
-
-def build_transplanted():
-    torch.manual_seed(77)
-    tmodel = _TorchPartSeg().eval()
-    variables = extract_variables(tmodel)
-    jmodel = MarkovPartSeg(
+def make_jax_model(**overrides):
+    kwargs = dict(
         num_parts=NUM_PARTS, num_categories=NUM_CATS, npoints=LADDER,
         residuals=(True, False, False, True, True),
     )
-    return tmodel, jmodel, variables
+    kwargs.update(overrides)
+    return MarkovPartSeg(**kwargs)
 
 
-def extract_variables(tmodel):
-    """Map every torch weight into MarkovPartSeg's variable tree. Re-runnable
-    on the same model (e.g. with H.t2j patched to read ``.grad``)."""
-    kh = tmodel.keepHigh
-    residuals = (True, False, False, True, True)
-    p, s = {}, {}
-    for i in range(5):
-        lm = getattr(kh, f"la{i}")
-        p[f"la{i}"], s[f"la{i}"] = _localmerge_vars(lm, residuals[i], xyz_only=(i == 0))
-    for i in range(1, 5):
-        lm = getattr(kh, f"la{i}_up")
-        p[f"la{i}_up"], s[f"la{i}_up"] = _localmerge_vars(lm, False)
-        p[f"up_conv{i}"], s[f"up_conv{i}"] = H.linear_unit_vars(getattr(kh, f"up_conv{i}"))
-    p["mlp"], s["mlp"] = H.linear_unit_vars(kh.mlp)
-    # fuse1..fuse5 update targets 4, 3, 2, 1, 0 respectively.
-    for k, t in zip(range(1, 6), (4, 3, 2, 1, 0)):
-        p[f"fuse{k}"], s[f"fuse{k}"] = _fuse_vars(getattr(kh, f"fuse{k}"), t)
-    p["conv5"], s["conv5"] = H.linear_unit_vars(kh.conv5)
-    p["conv7"], s["conv7"] = H.linear_unit_vars(kh.conv7)
+def forward_fixture():
+    def build():
+        from torch_side.partseg_model import forward_fixture as f
+        return f()
 
-    params = {"keep_high": p}
-    stats = {"keep_high": s}
-    for name in ("conv8", "conv9", "conv10"):
-        params[name], stats[name] = H.linear_unit_vars(getattr(tmodel, name))
-    params["conv11"] = H.dense_params(tmodel.conv11)
-    return {"params": params, "batch_stats": stats}
-
-
-def _run_ref(tmodel, x, onehot, grad=False):
-    """Drive the torch reference with deterministic FPS (scaled ladder) and a
-    CPU upsample (the reference's is torch.cuda-only). With ``grad=True``,
-    ``x`` may be a torch tensor with requires_grad and the raw log-probs
-    tensor is returned (no detach)."""
-    ref_mod = REF["pointnet2_utils"]
-    orig_fps, orig_up = ref_mod.farthest_point_sample, ref_mod.upsample
-    ladder = iter(LADDER)
-
-    def fps(xyz, n):
-        return _farthest_point_sample(xyz, next(ladder))
-
-    def cpu_upsample(points, knn_idx_, scale_ratio=2, dist=None):
-        Bq, S, C = points.shape
-        K = knn_idx_.shape[-1]
-        points1 = points.unsqueeze(-2).repeat(1, 1, K, 1)
-        big = torch.zeros(Bq, S, S * scale_ratio, C)
-        out = big.scatter_(
-            -2, knn_idx_.unsqueeze(-1).repeat(1, 1, 1, C).long(), points1
-        )
-        total = torch.sum(out, dim=1)
-        nz = torch.count_nonzero(out[:, :, :, 0], dim=1).unsqueeze(-1).float()
-        nz = torch.where(nz == 0.0, torch.ones_like(nz), nz)
-        return total / nz
-
-    ref_mod.farthest_point_sample = fps
-    ref_mod.upsample = cpu_upsample
-    try:
-        if grad:
-            xt = x if torch.is_tensor(x) else torch.from_numpy(x.transpose(0, 2, 1))
-            logits = tmodel(xt, torch.from_numpy(onehot[:, None, :]))
-            return F.log_softmax(logits, -1)
-        with torch.no_grad():
-            logits = tmodel(
-                torch.from_numpy(x.transpose(0, 2, 1)),
-                torch.from_numpy(onehot[:, None, :]),
-            )
-    finally:
-        ref_mod.farthest_point_sample = orig_fps
-        ref_mod.upsample = orig_up
-    return F.log_softmax(logits, -1).numpy()
+    return oracle("partseg_model_forward", build)
 
 
 class TestFullPartSegModelParity:
-    def _case(self, seed):
-        tmodel, jmodel, variables = build_transplanted()
-        r = np.random.default_rng(seed)
-        x = r.normal(size=(B, N, 3)).astype(np.float32)
-        cats = r.integers(0, NUM_CATS, size=(B,))
-        onehot = np.eye(NUM_CATS, dtype=np.float32)[cats]
-        want = _run_ref(tmodel, x, onehot)
+    def _case(self, name):
+        f = forward_fixture()
         got = np.asarray(
-            jmodel.apply(variables, (jnp.asarray(x), jnp.asarray(onehot)), train=False)
+            make_jax_model().apply(
+                subtree(f, "variables"),
+                (jnp.asarray(f[f"x_{name}"]), jnp.asarray(f[f"onehot_{name}"])),
+                train=False,
+            )
         )
-        return got, want
+        return got, f[f"want_{name}"]
 
     def test_per_point_logprobs_match(self):
-        got, want = self._case(0)
+        got, want = self._case("logits")
         assert got.shape == (B, N, NUM_PARTS)
         np.testing.assert_allclose(got, want, atol=5e-4)
 
     def test_per_point_prediction_agreement(self):
-        got, want = self._case(1)
+        got, want = self._case("pred")
         np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))

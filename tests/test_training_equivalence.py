@@ -15,9 +15,11 @@ are all discrete selections), and the two frameworks' forwards differ at the
 trajectories separate discretely-but-boundedly. The criterion is therefore
 statistical: exact first step, bounded mean/max excursion, identical
 converged plateau and identical total progress — a systematic bug violates
-all of these at once by orders of magnitude."""
+all of these at once by orders of magnitude.
 
-import itertools
+Torch-side curves frozen into tests/fixtures/*_train_curve.npz (builders in
+tests/torch_side/; regenerate with MPA_REGEN_ORACLES=1)."""
+
 import os
 import sys
 
@@ -25,19 +27,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import torch
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from ref_oracle import load_reference, _farthest_point_sample  # noqa: E402
+from oracle_cache import oracle, subtree  # noqa: E402
 import test_model_parity as CLS  # noqa: E402
-
-REF = load_reference()
+import test_partseg_model_parity as SEG  # noqa: E402
 
 STEPS = 25
 LR = 2e-3
 MOMENTUM = 0.0
 B, N = 8, 256
-LADDER = (128, 64, 32, 16, 8)
 
 
 def _batches(num, seed=0):
@@ -46,29 +45,6 @@ def _batches(num, seed=0):
     ys = r.integers(0, 15, size=(2, B))
     for i in range(num):
         yield xs[i % 2], ys[i % 2]
-
-
-def _train_torch(tmodel):
-    ref_mod = REF["repsurface_utils"]
-    orig = ref_mod.farthest_point_sample
-    ladder = itertools.cycle(LADDER)
-    ref_mod.farthest_point_sample = lambda xyz, n: _farthest_point_sample(
-        xyz, next(ladder)
-    )
-    opt = torch.optim.SGD(tmodel.parameters(), lr=LR, momentum=MOMENTUM)
-    tmodel.train()
-    losses = []
-    try:
-        for x, y in _batches(STEPS):
-            opt.zero_grad()
-            out = tmodel(torch.from_numpy(x.transpose(0, 2, 1)))
-            loss = -out[torch.arange(B), torch.from_numpy(y)].mean()
-            loss.backward()
-            opt.step()
-            losses.append(float(loss.detach()))
-    finally:
-        ref_mod.farthest_point_sample = orig
-    return np.asarray(losses)
 
 
 def _train_jax(jmodel, variables):
@@ -98,13 +74,22 @@ def _train_jax(jmodel, variables):
     return np.asarray(losses)
 
 
+def _cls_fixture():
+    def build():
+        from torch_side.cls_model import train_curve_fixture
+        return train_curve_fixture(steps=STEPS, lr=LR, momentum=MOMENTUM, batch=B)
+
+    return oracle("cls_train_curve", build)
+
+
 class TestTrainingCurveEquivalence:
     def test_cls_loss_curves_track(self):
-        tmodel, jmodel, variables = CLS.build_transplanted()
+        f = _cls_fixture()
+        variables = subtree(f, "variables")
+        want = f["want"]
         # The torch-side oracle model has no head dropout (eval-parity build);
         # match it exactly — dropout draws can't be shared across frameworks.
-        jmodel = jmodel.clone(dropout=0.0)
-        want = _train_torch(tmodel)
+        jmodel = CLS.make_jax_model(dropout=0.0)
         got = _train_jax(jmodel, variables)
 
         # Step 0 is pure forward parity; later steps accumulate fp noise that
@@ -137,8 +122,8 @@ class TestTrainingCurveEquivalence:
         training, via the same statistical criteria as the torch proxy
         (bf16 rounding is ~30x the cross-framework fp noise, so the bounds
         are proportionally looser but the same failure modes apply)."""
-        _, jmodel, variables = CLS.build_transplanted()
-        jmodel = jmodel.clone(dropout=0.0)
+        variables = subtree(_cls_fixture(), "variables")
+        jmodel = CLS.make_jax_model(dropout=0.0)
         f32 = _train_jax(jmodel, variables)
         b16 = _train_jax(jmodel.clone(compute_dtype=jnp.bfloat16), variables)
 
@@ -160,8 +145,6 @@ class TestPartSegTrainingCurveEquivalence:
     STEPS = 15
 
     def _batches(self):
-        import test_partseg_model_parity as SEG
-
         r = np.random.default_rng(11)
         Bs, Ns = SEG.B, SEG.N
         xs = r.normal(size=(2, Bs, Ns, 3)).astype(np.float32)
@@ -173,30 +156,16 @@ class TestPartSegTrainingCurveEquivalence:
             yield xs[j], ohs[j], segs[j]
 
     def test_partseg_loss_curves_track(self):
-        import test_partseg_model_parity as SEG
+        def build():
+            from torch_side.partseg_model import train_curve_fixture
+            return train_curve_fixture(steps=self.STEPS, lr=LR, momentum=MOMENTUM)
 
-        tmodel, jmodel, variables = SEG.build_transplanted()
+        f = oracle("partseg_train_curve", build)
+        variables = subtree(f, "variables")
+        want = f["want"]
         # Dropout draws can't be shared across frameworks: off on both sides.
-        jmodel = jmodel.clone(dropout=0.0)
-        tmodel.train()
-        for m in tmodel.modules():
-            if isinstance(m, torch.nn.Dropout):
-                m.eval()
+        jmodel = SEG.make_jax_model(dropout=0.0)
 
-        # torch side
-        opt = torch.optim.SGD(tmodel.parameters(), lr=LR, momentum=MOMENTUM)
-        want = []
-        for x, oh, seg in self._batches():
-            opt.zero_grad()
-            logp = SEG._run_ref(tmodel, x, oh, grad=True)
-            tgt = torch.from_numpy(seg).long()
-            loss = -logp.gather(-1, tgt.unsqueeze(-1)).mean()
-            loss.backward()
-            opt.step()
-            want.append(float(loss.detach()))
-        want = np.asarray(want)
-
-        # jax side
         tx = optax.sgd(LR, momentum=MOMENTUM)
         params, stats = variables["params"], variables["batch_stats"]
         opt_state = tx.init(params)
