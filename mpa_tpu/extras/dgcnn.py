@@ -36,7 +36,7 @@ class _EdgeConv(nn.Module):
         e = get_graph_feature(x, self.k)
         e = nn.Dense(self.features, use_bias=False, name="conv")(e)
         e = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn"
         )(e)
         e = jax.nn.leaky_relu(e, negative_slope=0.2)
         return jnp.max(e, axis=2)
@@ -60,20 +60,20 @@ class DGCNN(nn.Module):
         x = jnp.concatenate(blocks, axis=-1)
         x = nn.Dense(1024, use_bias=False, name="conv5")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn5"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn5"
         )(x)
         x = jax.nn.leaky_relu(x, negative_slope=0.2)
         g = jnp.concatenate([jnp.max(x, axis=1), jnp.mean(x, axis=1)], axis=-1)
 
         g = nn.Dense(512, use_bias=False, name="linear1")(g)
         g = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn6"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn6"
         )(g)
         g = jax.nn.leaky_relu(g, negative_slope=0.2)
         g = nn.Dropout(self.dropout, deterministic=not train)(g)
         g = nn.Dense(256, name="linear2")(g)
         g = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn7"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn7"
         )(g)
         g = jax.nn.leaky_relu(g, negative_slope=0.2)
         g = nn.Dropout(self.dropout, deterministic=not train)(g)

@@ -22,7 +22,7 @@ class GatingContext(nn.Module):
         gates = nn.Dense(dim, use_bias=not self.add_batch_norm, name="gating")(x)
         if self.add_batch_norm:
             gates = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn"
             )(gates)
         return x * jax.nn.sigmoid(gates)
 
@@ -40,7 +40,7 @@ class NetVLAD(nn.Module):
         )(x)
         if self.add_batch_norm:
             logits = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn1"
             )(logits)
         assign = jax.nn.softmax(logits, axis=-1)  # [B, N, K]
 
@@ -68,7 +68,7 @@ class SpatialPyramidNetVLAD(nn.Module):
         )
         v = nn.Dense(self.output_dim, use_bias=False, name="hidden")(v)
         v = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn2"
         )(v)
         if self.gating:
             v = GatingContext(self.add_batch_norm, name="context_gating")(

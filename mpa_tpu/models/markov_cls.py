@@ -68,6 +68,7 @@ class MarkovClassifier(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                use_fast_variance=False,
                 name=f"bn{i + 1}",
             )(x)
             x = jax.nn.leaky_relu(x, negative_slope=0.2)

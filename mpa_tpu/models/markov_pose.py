@@ -61,7 +61,7 @@ class MarkovPose(nn.Module):
         )(points[..., :3], train=train, rng=rng)
         x = nn.Dense(512, name="fc1")(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn1"
         )(x)
         x = jax.nn.leaky_relu(x, negative_slope=0.2)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

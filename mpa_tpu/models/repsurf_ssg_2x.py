@@ -76,6 +76,7 @@ class RepSurfSSG2x(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                use_fast_variance=False,
                 name=f"bn{i + 1}",
             )(x)
             x = jax.nn.relu(x)

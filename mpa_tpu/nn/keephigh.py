@@ -77,6 +77,6 @@ class KeepHighResolutionEncoder(nn.Module):
         fused = jnp.concatenate([gmax, gavg], axis=-1)
         fused = nn.Dense(self.out_features, name="final_class")(fused)
         fused = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="final_bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="final_bn"
         )(fused)
         return jax.nn.leaky_relu(fused, negative_slope=0.2)

@@ -97,6 +97,7 @@ class _ConvBnStack(nn.Module):
             x = nn.Dense(c, name=f"conv{i}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_fast_variance=False,
                 name=f"bn{i}",
             )(x)
             x = jax.nn.relu(x)
@@ -156,11 +157,16 @@ class SurfaceAbstractionCD(nn.Module):
                 return_normal=self.return_normal, return_polar=self.return_polar,
             )
         pos, feat = grouped[..., : self.pos_channel], grouped[..., self.pos_channel :]
+        # use_fast_variance=False everywhere: ball-query backfill duplicates
+        # points, so grouped activations can have |mean|^2 >> var, and the
+        # one-pass E[x^2]-mean^2 variance then cancels catastrophically —
+        # enough that sharded vs single-device reduction order visibly shifts
+        # the normalized output. Two-pass variance is exact and matches torch.
         loc = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn_l0"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn_l0"
         )(nn.Dense(self.mlp[0], name="mlp_l0")(pos))
         ft = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn_f0"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn_f0"
         )(nn.Dense(self.mlp[0], name="mlp_f0")(feat))
         x = jax.nn.relu(loc + ft)
         x = _ConvBnStack(tuple(self.mlp[1:]), name="mlps")(x, train=train)

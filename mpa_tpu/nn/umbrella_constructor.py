@@ -63,12 +63,12 @@ class UmbrellaSurfaceConstructor(nn.Module):
         # Shared per-triangle MLP (reference: Conv2d/BN/ReLU x3, first bias-free).
         feat = nn.Dense(self.channels, use_bias=False, name="mlp0")(feat)
         feat = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn0"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn0"
         )(feat)
         feat = jax.nn.relu(feat)
         feat = nn.Dense(self.channels, name="mlp1")(feat)
         feat = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="bn1"
         )(feat)
         feat = jax.nn.relu(feat)
         feat = nn.Dense(self.channels, name="mlp2")(feat)

@@ -43,9 +43,29 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params / train state) across the mesh."""
+    """Replicate a pytree (params / train state) across the mesh.
+
+    Multi-process: device_put cannot target non-addressable devices, so each
+    process contributes its (identical) local copy via
+    ``jax.make_array_from_process_local_data`` — for a fully-replicated spec
+    the process-local data IS the global array. PRNG key arrays (extended
+    dtype, not numpy-convertible) round-trip through their uint32 key data.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    single = jax.process_count() == 1
+
+    def put(x):
+        if single:
+            return jax.device_put(x, sharding)
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            data = np.asarray(jax.random.key_data(x))
+            g = jax.make_array_from_process_local_data(sharding, data)
+            return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def jit_sharded_train_step(train_step, mesh: Mesh, axis: str = "data"):

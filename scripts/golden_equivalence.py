@@ -108,16 +108,16 @@ def partseg_eval_set():
 # --- model builders (identical init on both sides) ---------------------------
 def build_cls_torch():
     import torch
-    import test_model_parity as CLS
+    from torch_side import cls_model as CLS
 
     torch.manual_seed(INIT_SEED)
-    tmodel = CLS._TorchModel(CLS._Args())
+    tmodel = CLS._TorchModel()
     return tmodel, CLS
 
 
 def build_partseg_torch():
     import torch
-    import test_partseg_model_parity as SEG
+    from torch_side import partseg_model as SEG
 
     torch.manual_seed(INIT_SEED)
     tmodel = SEG._TorchPartSeg()
@@ -330,8 +330,8 @@ def run_cls_jax(steps: int, out_path: str):
     import jax
     import jax.numpy as jnp
     import optax
-    import test_model_parity as CLS
-    import test_nn_blocks as H
+    from torch_side import cls_model as CLS
+    from torch_side import helpers as H
     from mpa_tpu.models import MarkovClassifier
     from mpa_tpu.train.loop import make_optimizer
     from mpa_tpu.train.losses import smooth_cls_loss
@@ -421,8 +421,8 @@ def run_partseg_jax(steps: int, out_path: str):
     import jax
     import jax.numpy as jnp
     import optax
-    import test_nn_blocks as H
-    import test_partseg_model_parity as SEG
+    from torch_side import helpers as H
+    from torch_side import partseg_model as SEG
     from mpa_tpu.data.shapenetpart import SEG_PARTS
     from mpa_tpu.models import MarkovPartSeg
     from mpa_tpu.train.loop import make_optimizer

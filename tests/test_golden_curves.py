@@ -1,0 +1,83 @@
+"""Golden training-curve equivalence artifacts (layer G, VERDICT r1 item 1).
+
+golden/{task}_{side}.jsonl are full-config training runs recorded by
+scripts/golden_equivalence.py: the torch reference model (built from
+/root/reference sources) and the mpa_tpu model, transplanted to identical
+initial weights, fed identical deterministic batches at the PUBLISHED
+configs (cls: 1024 pts / batch 40 / Adam 1e-3, the ScanObjectNN recipe of
+log/ScanObjectNN/res/logs/repsurf.repsurf_ssg_umb.txt:2; partseg: 2048 pts /
+batch 26 / SGD 0.1, log/part_seg/res/logs/pointnet2_part_seg_msg.txt:2).
+
+These tests assert the committed curves actually track — they are the
+reviewer-facing guarantee that the artifacts demonstrate equivalence, and
+they fail loudly if either file is regenerated into divergence.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
+
+
+def load(task, side):
+    path = os.path.join(GOLDEN, f"{task}_{side}.jsonl")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not recorded")
+    train, evals = [], []
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            (train if rec["kind"] == "train" else evals).append(rec)
+    return train, evals
+
+
+class TestClsCurve:
+    def test_train_loss_tracks(self):
+        ttrain, _ = load("cls", "torch")
+        jtrain, _ = load("cls", "jax")
+        n = min(len(ttrain), len(jtrain))
+        assert n >= 500
+        tl = np.array([r["loss"] for r in ttrain[:n]])
+        jl = np.array([r["loss"] for r in jtrain[:n]])
+        diff = np.abs(tl - jl)
+        # Identical init + data: curves must track to a small fraction of the
+        # total loss descent (2.67 -> 0.59) throughout, and converge together.
+        assert diff.mean() < 0.02, diff.mean()
+        assert diff.max() < 0.3, diff.max()
+        assert diff[-50:].mean() < 0.005, diff[-50:].mean()
+
+    def test_final_eval_matches(self):
+        _, tevals = load("cls", "torch")
+        _, jevals = load("cls", "jax")
+        t, j = tevals[-1], jevals[-1]
+        assert abs(t["loss"] - j["loss"]) < 0.01
+        assert abs(t["acc"] - j["acc"]) < 0.01
+        assert abs(t["cls_acc"] - j["cls_acc"]) < 0.01
+
+
+class TestPartsegCurve:
+    def test_train_loss_tracks(self):
+        ttrain, _ = load("partseg", "torch")
+        jtrain, _ = load("partseg", "jax")
+        n = min(len(ttrain), len(jtrain))
+        assert n >= 200
+        tl = np.array([r["loss"] for r in ttrain[:n]])
+        jl = np.array([r["loss"] for r in jtrain[:n]])
+        diff = np.abs(tl - jl)
+        assert diff.mean() < 0.05, diff.mean()
+        assert diff.max() < 0.3, diff.max()
+        assert diff[-50:].mean() < 0.03, diff[-50:].mean()
+
+    def test_final_eval_matches(self):
+        _, tevals = load("partseg", "torch")
+        _, jevals = load("partseg", "jax")
+        t, j = tevals[-1], jevals[-1]
+        assert abs(t["loss"] - j["loss"]) < 0.05
+        # mIoU protocols agree to ~1 point at matched step count (the exact
+        # ShapeNetPart ins/class-mIoU + point-acc protocol on both sides).
+        assert abs(t["ins_miou"] - j["ins_miou"]) < 0.02
+        assert abs(t["cls_miou"] - j["cls_miou"]) < 0.02
+        assert abs(t["point_acc"] - j["point_acc"]) < 0.02
