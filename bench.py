@@ -87,6 +87,130 @@ def bench_partseg():
     return best, median, dt, flops
 
 
+def _train_bench(model, inputs, labels, loss_fn, optimizer, B, *, windows, iters):
+    from mpa_tpu import train as tr
+
+    ex = jax.tree_util.tree_map(lambda a: a[:2], inputs)
+    state = tr.create_train_state(model, jax.random.key(5), ex, optimizer)
+    step = jax.jit(tr.make_train_step(loss_fn), donate_argnums=(0,))
+    args = (inputs, labels, jax.random.key(6))
+    flops = _flops(step, state, args)
+    best, median, dt = _measure(step, state, args, B, windows=windows, iters=iters)
+    return best, median, dt, flops
+
+
+def bench_secondary():
+    """Secondary metrics (VERDICT r1 item 9): the remaining registered models
+    under the same fenced-timing methodology as the headline workloads —
+    repsurf_ssg_umb_2x (the published golden-config cls variant) and the three
+    extended heads at their preset configs (configs/presets.py)."""
+    import numpy as np
+
+    from mpa_tpu.models import get_model, rotation_geodesic_loss
+    from mpa_tpu import train as tr
+
+    r = np.random.default_rng(0)
+
+    def pts(B, n, c=3):
+        return jnp.asarray(r.normal(size=(B, n, c)).astype(np.float32))
+
+    out = {}
+
+    def block(name, fn):
+        try:
+            best, med, dt, flops = fn()
+            out[name] = {
+                "clouds_per_sec_best": round(best, 1),
+                "clouds_per_sec_median": round(med, 1),
+                "ms_per_step": round(dt * 1e3, 2),
+                "mfu_pct": round(100.0 * flops / dt / V5E_PEAK_FLOPS, 2)
+                if flops
+                else None,
+            }
+        except Exception as e:  # secondary metrics never sink the primaries
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    def _2x():
+        B = 64
+        return _train_bench(
+            get_model("repsurf_ssg_2x", num_classes=15), pts(B, 1024),
+            jnp.asarray(r.integers(0, 15, size=(B,)).astype(np.int32)),
+            lambda o, l: tr.smooth_cls_loss(o, l, 0.1),
+            tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4),
+            B, windows=4, iters=20,
+        )
+
+    def _semseg():
+        B = 16  # s3dis_semseg preset: 4096-pt blocks, batch 16
+        return _train_bench(
+            get_model("markov_semseg"), pts(B, 4096, 9),
+            jnp.asarray(r.integers(0, 13, size=(B, 4096)).astype(np.int32)),
+            lambda o, l: tr.smooth_seg_loss(o, l, 0.1),
+            tr.make_optimizer("sgd", 0.1, weight_decay=1e-4, momentum=0.9),
+            B, windows=4, iters=5,
+        )
+
+    def _pose():
+        B = 64
+        rot = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, 1, 1))
+        return _train_bench(
+            get_model("markov_pose"), pts(B, 1024), rot, rotation_geodesic_loss,
+            tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4),
+            B, windows=4, iters=10,
+        )
+
+    def _completion():
+        B = 64
+
+        def loss_fn(o, target):
+            coarse, fine = o
+            return tr.chamfer_distance(coarse, target) + tr.chamfer_distance(
+                fine, target
+            )
+
+        return _train_bench(
+            get_model("markov_completion"), pts(B, 1024), pts(B, 1024), loss_fn,
+            tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4),
+            B, windows=4, iters=10,
+        )
+
+    block("repsurf_ssg_2x", _2x)
+    block("semseg_4096", _semseg)
+    block("pose_1024", _pose)
+    block("completion_1024", _completion)
+    return out
+
+
+def bench_semseg_16k():
+    """Large-scene scalability: markov_semseg at N=16384, exact vs Morton-
+    windowed neighbour mode (the structural escape from the gather/scatter
+    floors — docs/PERF.md). Reported as ms/step each plus the speedup."""
+    import numpy as np
+
+    from mpa_tpu.models import get_model
+    from mpa_tpu import train as tr
+
+    B, N = 2, 16384
+    r = np.random.default_rng(1)
+    pts = jnp.asarray(r.normal(size=(B, N, 9)).astype(np.float32))
+    labels = jnp.asarray(r.integers(0, 13, size=(B, N)).astype(np.int32))
+    npoints = (8192, 4096, 2048, 1024)
+    res = {}
+    for mode in ("exact", "window"):
+        model = get_model("markov_semseg", npoints=npoints, neighbor_mode=mode)
+        _, _, dt, _ = _train_bench(
+            model, pts, labels,
+            lambda o, l: tr.smooth_seg_loss(o, l, 0.1),
+            tr.make_optimizer("sgd", 0.1, weight_decay=1e-4, momentum=0.9),
+            B, windows=3, iters=3,
+        )
+        res[f"{mode}_ms_per_step"] = round(dt * 1e3, 1)
+    res["window_speedup"] = round(
+        res["exact_ms_per_step"] / res["window_ms_per_step"], 2
+    )
+    return res
+
+
 def bench_serve():
     """Latency of the DEPLOYED artifact: export the cls model via jax.export,
     reload it, and time single-batch inference (the serving path a user
@@ -143,6 +267,11 @@ def main():
         serve_block = bench_serve()
     except Exception as e:  # serving must never sink the primary metrics
         serve_block = {"error": f"{type(e).__name__}: {e}"[:200]}
+    secondary = bench_secondary()
+    try:
+        semseg16k = bench_semseg_16k()
+    except Exception as e:
+        semseg16k = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     def block(best, med, dt, flops, baseline):
         return {
@@ -164,6 +293,9 @@ def main():
                 "partseg": block(ps_best, ps_med, ps_dt, ps_flops, 29.6),
                 "cls": block(cls_best, cls_med, cls_dt, cls_flops, 21.5),
                 "serve_cls_exported": serve_block,
+                "secondary_models": secondary,
+                "semseg_16k": semseg16k,
+                "partseg_batch_note": "partseg uses B16 (B32 measured worse per-cloud than B16 on-chip; docs/PERF.md) though the preset trains at B32",
                 "timing_note": "host-transfer fenced (block_until_ready is unreliable on this tunnel; r1 cls numbers were inflated by it)",
             }
         )

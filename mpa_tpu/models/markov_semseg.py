@@ -99,7 +99,7 @@ class MarkovSemSeg(nn.Module):
         # Decoder with per-scale Fuse (same shape as the part-seg decoder).
         fuse_ch = tuple(ch)
         top = LinearUnit(ch[-1], norm="batch", name="mlp")(feats[-1], train=train)
-        top = Fuse(fuse_ch, self.num_neighbors, name="fuse_top")(
+        top = Fuse(fuse_ch, self.num_neighbors, knn_mode=self.neighbor_mode, name="fuse_top")(
             n_scales - 1, feats[:-1] + [top], fps_list, knn_list, positions,
             train=train,
         )[n_scales - 1]
@@ -107,20 +107,48 @@ class MarkovSemSeg(nn.Module):
         up_feats = [None] * n_scales
         up_feats[-1] = top
         for step, s in enumerate(range(n_scales - 2, -1, -1)):
-            up = scatter_mean_upsample(
-                up_feats[s + 1], knn_list[s + 1], positions[s].shape[1]
-            )
+            # Dense hoisted before the scatter (LinearUnit mid_op): matmul on
+            # the coarse rows, scatter at the narrower target width. In window
+            # mode the stored encoder idx is window-constrained whenever the
+            # (S, N) pair admits a spec (LocalMerge's deterministic contract),
+            # and the banded scatter kernel applies.
+            wspec = None
+            if self.neighbor_mode == "window":
+                from mpa_tpu.ops.pallas.window_attention import (
+                    make_window_spec,
+                    windowed_scatter_mean,
+                )
+
+                try:
+                    wspec = make_window_spec(
+                        positions[s + 1].shape[1], positions[s].shape[1]
+                    )
+                except ValueError:
+                    wspec = None
+            if wspec is not None:
+                mid = lambda y, i=knn_list[s + 1], n=positions[s].shape[1], w=wspec: (
+                    windowed_scatter_mean(y, i, n, w)
+                )
+            else:
+                mid = lambda y, i=knn_list[s + 1], n=positions[s].shape[1]: (
+                    scatter_mean_upsample(y, i, n)
+                )
             up = LinearUnit(ch[s], norm="batch", name=f"up_conv{s + 1}")(
-                up, train=train
+                up_feats[s + 1], train=train, mid_op=mid
             )
             f_s, _, _ = LocalMerge(
                 ch[s], self.num_neighbors, residual=False,
                 include_xyz_branch=True, knn_mode=self.neighbor_mode,
                 name=f"la{s + 1}_up",
-            )(positions[s], positions[s], feature=up, train=train)
+            )(
+                positions[s], positions[s], feature=up, train=train,
+                # scale 0's self-kNN was already computed by la0 on the same
+                # positions — exact reuse, saves the largest decoder search.
+                spatial_knn=(d0, idx0) if s == 0 else None,
+            )
             src = list(feats)
             src[s] = f_s
-            up_feats[s] = Fuse(fuse_ch, self.num_neighbors, name=f"fuse{step + 1}")(
+            up_feats[s] = Fuse(fuse_ch, self.num_neighbors, knn_mode=self.neighbor_mode, name=f"fuse{step + 1}")(
                 s, src, fps_list, knn_list, positions, train=train
             )[s]
 

@@ -50,6 +50,24 @@ class Fuse(nn.Module):
     channels: Sequence[int]  # (c0..c4)
     num_neighbors: int = 8
     dtype: Any = None
+    # 'window': Morton-banded cross-scale kNN + banded scatter-mean for the
+    # coarser->finer moves (ops/pallas/window_attention.py) — only valid when
+    # every scale is Morton-ordered (the window-mode models' invariant).
+    # Scale pairs that don't satisfy the banding contract fall back to exact.
+    knn_mode: str = "exact"
+
+    def _wspec(self, S: int, N: int):
+        """The banding spec Fuse/LocalMerge searches use for an (S, N) scale
+        pair in window mode, or None. Deterministic in the shapes, so it also
+        tells whether a STORED encoder kNN index was window-constrained."""
+        if self.knn_mode != "window":
+            return None
+        from mpa_tpu.ops.pallas.window_attention import make_window_spec
+
+        try:
+            return make_window_spec(S, N)
+        except ValueError:
+            return None
 
     @nn.compact
     def __call__(
@@ -68,19 +86,44 @@ class Fuse(nn.Module):
         for s in range(len(features)):
             if s == t:
                 continue
+            unit = LinearUnit(
+                self.channels[t], norm="batch", dtype=self.dtype, name=f"conv{s}{t}"
+            )
             if s < t:  # finer -> gather down the FPS chain
                 idx = compose_fps_chain(fps, s, t)
-                moved = index_points(features[s], idx)
+                moved = unit(index_points(features[s], idx), train=train)
             else:  # coarser -> scatter-mean up
                 num_fine = features[t].shape[1]
+                wspec = self._wspec(features[s].shape[1], num_fine)
                 if s == t + 1 and knn_idx[s] is not None:
-                    up_idx = knn_idx[s]
+                    up_idx = knn_idx[s]  # windowed iff wspec is not None
+                elif wspec is not None:
+                    from mpa_tpu.ops.pallas.window_attention import (
+                        windowed_knn_with_spec,
+                    )
+
+                    _, up_idx, wspec = windowed_knn_with_spec(
+                        self.num_neighbors, xyz[t], xyz[s]
+                    )
                 else:
                     _, up_idx = knn(self.num_neighbors, xyz[t], xyz[s])
-                moved = scatter_mean_upsample(features[s], up_idx, num_fine)
-            total = total + LinearUnit(
-                self.channels[t], norm="batch", dtype=self.dtype, name=f"conv{s}{t}"
-            )(moved, train=train)
+                if wspec is not None:
+                    from mpa_tpu.ops.pallas.window_attention import (
+                        windowed_scatter_mean,
+                    )
+
+                    scatter = lambda y, i=up_idx, n=num_fine, w=wspec: (
+                        windowed_scatter_mean(y, i, n, w)
+                    )
+                else:
+                    scatter = lambda y, i=up_idx, n=num_fine: (
+                        scatter_mean_upsample(y, i, n)
+                    )
+                # Hoist the Dense before the scatter (LinearUnit mid_op):
+                # the matmul runs on the coarse rows (2-16x fewer) and the
+                # scatter mixes rows at the target width c_t instead of c_s.
+                moved = unit(features[s], train=train, mid_op=scatter)
+            total = total + moved
         out = (
             LinearUnit(self.channels[t], norm="batch", dtype=self.dtype, name=f"conv{t}")(
                 total, train=train

@@ -117,14 +117,22 @@ class KeepHighResolutionPartSeg(nn.Module):
         for step, s in enumerate((3, 2, 1, 0)):
             source = up_feats[s + 1]
             num_fine = positions[s].shape[1]
-            up = scatter_mean_upsample(source, knn_list[s + 1], num_fine)
+            # Dense hoisted before the scatter (LinearUnit mid_op): matmul on
+            # the coarse rows, scatter at the narrower target width.
             up = LinearUnit(ch[s], norm="batch", dtype=self.dtype, name=f"up_conv{s + 1}")(
-                up, train=train
+                source,
+                train=train,
+                mid_op=lambda y, i=knn_list[s + 1], n=num_fine: scatter_mean_upsample(y, i, n),
             )
             f_s, _, _ = LocalMerge(
                 ch[s], self.num_neighbors, residual=False,
                 include_xyz_branch=True, dtype=self.dtype, name=f"la{s + 1}_up",
-            )(positions[s], positions[s], feature=up, train=train)
+            )(
+                positions[s], positions[s], feature=up, train=train,
+                # scale 0's self-kNN was already computed by la0 on the same
+                # positions — exact reuse, saves the largest decoder search.
+                spatial_knn=(dist_list[0], knn_list[0]) if s == 0 else None,
+            )
             up_feats[s] = f_s
             up_feats[s] = Fuse(fuse_ch, self.num_neighbors, dtype=self.dtype, name=f"fuse{step + 2}")(
                 s, fuse_src[s](), fps_list, knn_list, positions, train=train

@@ -13,6 +13,7 @@ from typing import Any, Optional
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 
 class LinearUnit(nn.Module):
@@ -30,13 +31,29 @@ class LinearUnit(nn.Module):
     dtype: Any = None  # compute dtype (None = infer/fp32); norms stay fp32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
-        x = nn.Dense(self.features, dtype=self.dtype, name="linear")(x)
+    def __call__(self, x, *, train: bool = True, mid_op: Optional[Any] = None):
+        """mid_op: optional LINEAR row-mixing map (e.g. a scatter-mean
+        upsample) algebraically hoisted between the Dense matmul and its bias:
+        ``act(norm(mid_op(x @ W) + b))``. Because mid_op commutes with the
+        (bias-free) matmul, this equals applying the Dense AFTER mid_op —
+        but runs the matmul on the (smaller) input rows and the row-mix at
+        the (narrower) output width. mid_op must map zero rows to zero and
+        constant rows to that constant or zero (scatter-mean does: unclaimed
+        slots are zero, claimed slots average) so the bias lands exactly where
+        the unhoisted form puts it."""
+        dense = nn.Dense(self.features, dtype=self.dtype, name="linear")
+        if mid_op is None:
+            x = dense(x)
+        else:
+            # dense(0) == bias, shared params; y - b == x @ W exactly up to
+            # one rounding of the subtraction.
+            b = dense(jnp.zeros((1,) * (x.ndim - 1) + (x.shape[-1],), x.dtype))
+            x = mid_op(dense(x) - b) + b
         if self.norm == "layer":
             x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         elif self.norm == "batch":
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, use_fast_variance=False, name="norm"
             )(x)
         elif self.norm is not None:
             raise ValueError(f"unknown norm: {self.norm}")

@@ -52,8 +52,26 @@ class LocalMerge(nn.Module):
     # reproduces the reference semantics.
     knn_mode: str = "exact"
 
-    def _knn(self, k, base, query):
-        """Returns (dist, idx, window_spec_or_None)."""
+    def _knn(self, k, base, query, precomputed=None):
+        """Returns (dist, idx, window_spec_or_None).
+
+        precomputed: optional (dist, idx) of THIS exact search (same base,
+        query, k) computed earlier in the model — e.g. the decoder's
+        full-resolution self-kNN, already produced by the encoder's first
+        state on identical positions. Positions are static after the encoder,
+        so reuse is exact; in window mode the banding spec is reconstructed
+        deterministically from the shapes (make_window_spec is a pure
+        function of S, N)."""
+        if precomputed is not None:
+            d, idx = precomputed
+            if self.knn_mode == "window":
+                from mpa_tpu.ops.pallas.window_attention import make_window_spec
+
+                try:
+                    return d, idx, make_window_spec(query.shape[1], base.shape[1])
+                except ValueError:
+                    pass
+            return d, idx, None
         if self.knn_mode == "window":
             from mpa_tpu.ops.pallas.window_attention import windowed_knn_with_spec
 
@@ -73,11 +91,16 @@ class LocalMerge(nn.Module):
         fps_idx: Optional[jnp.ndarray] = None,
         *,
         train: bool = True,
+        spatial_knn: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """xyz: ``[B, S, 3]`` coarse centres; base_xyz: ``[B, N, 3]`` fine set;
         feature: ``[B, N, C]`` fine features (None on the first state);
-        fps_idx: ``[B, S]`` indices realizing xyz = base_xyz[fps_idx]."""
-        dist, idx, wspec = self._knn(self.num_neighbors, base_xyz, xyz)  # spatial kNN
+        fps_idx: ``[B, S]`` indices realizing xyz = base_xyz[fps_idx];
+        spatial_knn: optional precomputed (dist, idx) of the spatial search
+        (see _knn)."""
+        dist, idx, wspec = self._knn(
+            self.num_neighbors, base_xyz, xyz, precomputed=spatial_knn
+        )  # spatial kNN
 
         if feature is None:
             out = LocalTrans(

@@ -507,6 +507,162 @@ def _wattn_bwd_rule(n_branches, c, spec, res, g):
 _wattn.defvjp(_wattn_fwd_rule, _wattn_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Banded (windowed) scatter-mean upsample
+#
+# Same semantics as ops.scatter.scatter_mean_upsample, assuming every idx lies
+# inside its coarse chunk's Morton window (the windowed kNN's guarantee): the
+# one-hot claim matmul shrinks from [S*K, N] to [S*K, 2*bn] per chunk — the
+# window/N FLOP reduction — and accumulation into the two window blocks
+# follows the consecutive-revisit contract of _wattn_bwd.
+# ---------------------------------------------------------------------------
+
+
+def _wscatter_kernel(
+    feat_ref, idx_ref, outA_ref, outB_ref, cntA_ref, cntB_ref, *, spec: WindowSpec
+):
+    """feat: [1, sq, C] padded coarse chunk; idx: [1, sq, K] global fine
+    indices (in-window for real rows, == N sentinel for pad rows); outA/outB:
+    [1, bn, C] window blocks of the fine sum; cntA/cntB: [1, bn, 128]."""
+    ch = pl.program_id(1)
+    nc = spec.n_chunks
+    win0 = spec.block_g(ch) * spec.bn
+    f = feat_ref[0].astype(jnp.float32)  # [sq, C]
+    St, K = idx_ref.shape[1], idx_ref.shape[2]
+    # [St*K, 2bn] one-hot; sentinel rows match nothing.
+    mask = _local_onehot(idx_ref[0], win0, spec.window, jnp.float32)
+
+    first = jnp.logical_or(ch == 0, jnp.logical_and(ch >= 2, ch <= nc - 1))
+
+    @pl.when(first)
+    def _():
+        outA_ref[0] = jnp.zeros(outA_ref.shape[1:], jnp.float32)
+        outB_ref[0] = jnp.zeros(outB_ref.shape[1:], jnp.float32)
+        cntA_ref[0] = jnp.zeros(cntA_ref.shape[1:], jnp.float32)
+        cntB_ref[0] = jnp.zeros(cntB_ref.shape[1:], jnp.float32)
+
+    # Mask entries are exact 0/1, so only features need the hi/lo split
+    # (same 2-pass trick as scatter_pallas._scatter_kernel).
+    fe = jnp.broadcast_to(f[:, None, :], (St, K, f.shape[-1])).reshape(
+        St * K, f.shape[-1]
+    )
+    f_hi = fe.astype(jnp.bfloat16).astype(jnp.float32)
+    f_lo = fe - f_hi
+    dn = (((0,), (0,)), ((), ()))
+    bn = spec.bn
+    maskA, maskB = mask[:, :bn], mask[:, bn:]
+    for m_ref, cnt_ref, m in ((outA_ref, cntA_ref, maskA), (outB_ref, cntB_ref, maskB)):
+        acc = jax.lax.dot_general(
+            m, f_hi, dimension_numbers=dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            m, f_lo, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+        m_ref[0] += acc
+        cnt = jnp.sum(m, axis=0).reshape(bn, 1)
+        cnt_ref[0] += jnp.broadcast_to(cnt, (bn, cnt_ref.shape[2]))
+
+
+@functools.partial(jax.jit, static_argnames=("num_fine", "spec"))
+def _wscatter_sum_count(features, idx, num_fine: int, spec: WindowSpec):
+    B, S, C = features.shape
+    K = idx.shape[-1]
+    nc = spec.n_chunks
+    f = _pad_queries(features.astype(jnp.float32), spec)
+    # pad rows carry sentinel N: out of every chunk's window by construction
+    # (the last window ends exactly at N), so they claim nothing.
+    ixp = _pad_queries(idx.astype(jnp.int32), spec, value=num_fine)
+    kern = functools.partial(_wscatter_kernel, spec=spec)
+    blockA = pl.BlockSpec(
+        (1, spec.bn, C), lambda b, ch: (b, spec.block_g(ch), 0),
+        memory_space=pltpu.VMEM,
+    )
+    blockB = pl.BlockSpec(
+        (1, spec.bn, C), lambda b, ch: (b, spec.block_g(ch) + 1, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cntA = pl.BlockSpec(
+        (1, spec.bn, 128), lambda b, ch: (b, spec.block_g(ch), 0),
+        memory_space=pltpu.VMEM,
+    )
+    cntB = pl.BlockSpec(
+        (1, spec.bn, 128), lambda b, ch: (b, spec.block_g(ch) + 1, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outA, outB, cA, cB = pl.pallas_call(
+        kern,
+        grid=(B, nc + 1),
+        in_specs=[
+            pl.BlockSpec((1, spec.sq, C), lambda b, ch: (b, ch, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, spec.sq, K), lambda b, ch: (b, ch, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(blockA, blockB, cntA, cntB),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, num_fine, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, num_fine, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, num_fine, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, num_fine, 128), jnp.float32),
+        ),
+    )(f, ixp)
+    bn = spec.bn
+    zeros_blk = jnp.zeros((B, bn, C), jnp.float32)
+    zeros_cnt = jnp.zeros((B, bn), jnp.float32)
+    summed = (
+        jnp.concatenate([outA[:, : (nc - 1) * bn], zeros_blk], axis=1)
+        + jnp.concatenate([zeros_blk, outB[:, bn:]], axis=1)
+    )
+    cnt = (
+        jnp.concatenate([cA[:, : (nc - 1) * bn, 0], zeros_cnt], axis=1)
+        + jnp.concatenate([zeros_cnt, cB[:, bn:, 0]], axis=1)
+    )
+    return summed, cnt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _wscatter_mean(features, idx, num_fine: int, spec: WindowSpec):
+    summed, cnt = _wscatter_sum_count(features, idx, num_fine, spec)
+    return summed / jnp.maximum(cnt, 1.0)[..., None]
+
+
+def _wscatter_fwd(features, idx, num_fine, spec):
+    summed, cnt = _wscatter_sum_count(features, idx, num_fine, spec)
+    out = summed / jnp.maximum(cnt, 1.0)[..., None]
+    return out, (idx, cnt, jnp.zeros((0,), features.dtype))
+
+
+def _wscatter_bwd(num_fine, spec, res, g):
+    idx, cnt, dtype_probe = res
+    B, S, K = idx.shape
+    # df[s] = sum_k g[idx[s,k]] / max(cnt[idx[s,k]], 1) — a plain row gather
+    # (cheap: S rows), identical to scatter_pallas._bwd.
+    g_norm = g / jnp.maximum(cnt, 1.0)[..., None]
+    flat = idx.reshape(B, S * K)
+    picked = jnp.take_along_axis(
+        g_norm, flat[..., None], axis=1, mode="promise_in_bounds"
+    ).reshape(B, S, K, -1)
+    return jnp.sum(picked, axis=2).astype(dtype_probe.dtype), None
+
+
+_wscatter_mean.defvjp(_wscatter_fwd, _wscatter_bwd)
+
+
+def windowed_scatter_mean(
+    features, idx, num_fine: int, spec: WindowSpec, use_pallas=None
+):
+    """Banded scatter-mean upsample over a window-constrained idx.
+
+    Drop-in for ops.scatter_mean_upsample WHEN every ``idx[b, s, :]`` lies in
+    coarse row s's Morton window (the windowed kNN's guarantee) — out-of-window
+    indices silently contribute nothing, so never pass exact-kNN output here.
+    Off TPU, falls back to the identical-semantics generic scatter."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        from mpa_tpu.ops.scatter import scatter_mean_upsample
+
+        return scatter_mean_upsample(features, idx, num_fine)
+    return _wscatter_mean(features, idx, num_fine, spec).astype(features.dtype)
+
+
 def windowed_transition_attention(
     packed, idx, shifts, n_branches: int, c: int, spec: WindowSpec,
     use_pallas=None,

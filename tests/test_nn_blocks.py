@@ -154,3 +154,35 @@ class TestKeepHighEncoder:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(float(jnp.linalg.norm(l)) > 0 for l in leaves)
+
+
+class TestLinearUnitMidOp:
+    """The Dense-before-scatter hoist (LinearUnit mid_op) is algebraically
+    identical to scatter-then-LinearUnit: act(norm(scatter(x @ W) + b)) ==
+    act(norm(scatter(x) @ W + b)) because scatter-mean commutes with the
+    bias-free matmul and maps the bias row exactly (claimed slots keep b,
+    unclaimed slots get b either way)."""
+
+    def test_hoist_equals_unhoisted(self):
+        import numpy as np
+
+        from mpa_tpu.nn.linear import LinearUnit
+        from mpa_tpu.ops import scatter_mean_upsample
+
+        r = np.random.default_rng(5)
+        feats = jnp.asarray(r.normal(size=(2, 24, 12)).astype(np.float32))
+        # deliberately leave some fine slots unclaimed to pin the bias rule
+        idx = jnp.asarray(r.integers(0, 40, size=(2, 24, 4)).astype(np.int32))
+        unit = LinearUnit(10, norm="batch")
+        mid = lambda y: scatter_mean_upsample(y, idx, 64)
+        v = unit.init(jax.random.key(0), feats, mid_op=mid)
+        hoisted = unit.apply(v, feats, mid_op=mid, mutable=["batch_stats"])[0]
+        unhoisted = unit.apply(v, mid(feats), mutable=["batch_stats"])[0]
+        np.testing.assert_allclose(
+            np.asarray(hoisted), np.asarray(unhoisted), atol=2e-5
+        )
+        # unclaimed slots see exactly the bias either way
+        claimed = np.zeros((2, 64), bool)
+        for b in range(2):
+            claimed[b, np.asarray(idx)[b].ravel()] = True
+        assert np.any(~claimed)

@@ -239,3 +239,93 @@ class TestWindowedTransitionAttention:
         finally:
             AP.GRAD_SCATTER_PRECISION = orig
         np.testing.assert_allclose(got, np.asarray(g(False)), atol=1e-5)
+
+
+class TestWindowedScatterMean:
+    """Banded scatter-mean kernel vs the generic scatter on window-constrained
+    indices (identical semantics by construction), values + gradients."""
+
+    def _case(self, S, N, sq, C=16, k=4, seed=11):
+        from mpa_tpu.ops.pallas import window_attention as WA
+
+        spec = WA.make_window_spec(S, N, sq=sq)
+        base = _morton_cloud(2, N, seed=seed)
+        query = _morton_cloud(2, S, seed=seed + 1)
+        idx = WA.windowed_knn_reference(k, base, query, spec)
+        feats = jnp.asarray(rng(seed + 2).normal(size=(2, S, C)).astype(np.float32))
+        return spec, idx, feats
+
+    @pytest.mark.parametrize("S,N,sq", [(128, 128, 32), (64, 256, 16), (256, 64, 32)])
+    def test_matches_generic_scatter(self, S, N, sq):
+        from mpa_tpu.ops.pallas import window_attention as WA
+        from mpa_tpu.ops.scatter import scatter_mean_upsample
+
+        spec, idx, feats = self._case(S, N, sq)
+        got = WA.windowed_scatter_mean(feats, idx, N, spec, use_pallas=True)
+        want = scatter_mean_upsample(feats, idx, N, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_gradient_matches_generic(self):
+        from mpa_tpu.ops.pallas import window_attention as WA
+        from mpa_tpu.ops.scatter import scatter_mean_upsample
+
+        spec, idx, feats = self._case(128, 128, 32)
+        w = jnp.asarray(rng(9).normal(size=(2, 128, 16)).astype(np.float32))
+
+        def loss_banded(f):
+            return jnp.sum(w * WA.windowed_scatter_mean(f, idx, 128, spec, use_pallas=True))
+
+        def loss_generic(f):
+            return jnp.sum(w * scatter_mean_upsample(f, idx, 128, use_pallas=False))
+
+        ga = jax.grad(loss_banded)(feats)
+        gb = jax.grad(loss_generic)(feats)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=2e-5)
+
+    def test_unclaimed_slots_zero(self):
+        """Every claimed slot averages its claimants; unclaimed slots are 0."""
+        from mpa_tpu.ops.pallas import window_attention as WA
+
+        spec, idx, feats = self._case(64, 256, 16, k=2)
+        out = np.asarray(WA.windowed_scatter_mean(feats, idx, 256, spec, use_pallas=True))
+        claimed = np.zeros((2, 256), bool)
+        np_idx = np.asarray(idx)
+        for b in range(2):
+            claimed[b, np_idx[b].ravel()] = True
+        assert np.all(out[~claimed] == 0.0)
+        assert np.any(np.abs(out[claimed]) > 0)
+
+
+class TestFuseWindowMode:
+    """Fuse knn_mode='window': banded cross-scale kNN + banded scatter give
+    the same STRUCTURE as exact mode (and identical values when the window
+    covers the true neighbours)."""
+
+    def test_window_fuse_runs_and_matches_shapes(self):
+        from mpa_tpu.nn.fuse import Fuse
+
+        B = 2
+        xyz0 = _morton_cloud(B, 256, seed=31)
+        # nested FPS-free subsets that stay Morton-sorted: strided rows
+        xyz1, xyz2 = xyz0[:, ::2], xyz0[:, ::4]
+        feats = [
+            jnp.asarray(rng(40 + s).normal(size=(B, n, 8)).astype(np.float32))
+            for s, n in enumerate((256, 128, 64))
+        ]
+        fps = [
+            jnp.tile(jnp.arange(0, 256, 2)[None], (B, 1)),
+            jnp.tile(jnp.arange(0, 128, 2)[None], (B, 1)),
+        ]
+        knn_idx = [None, None, None]
+        positions = [xyz0, xyz1, xyz2]
+
+        for mode in ("exact", "window"):
+            fuse = Fuse((8, 8, 8), num_neighbors=4, knn_mode=mode)
+            vars_ = fuse.init(
+                jax.random.key(0), 0, feats, fps, knn_idx, positions, train=False
+            )
+            out = fuse.apply(
+                vars_, 0, feats, fps, knn_idx, positions, train=False
+            )
+            assert out[0].shape == (B, 256, 8)
+            assert jnp.all(jnp.isfinite(out[0]))
