@@ -529,8 +529,10 @@ def _wscatter_kernel(
     win0 = spec.block_g(ch) * spec.bn
     f = feat_ref[0].astype(jnp.float32)  # [sq, C]
     St, K = idx_ref.shape[1], idx_ref.shape[2]
-    # [St*K, 2bn] one-hot; sentinel rows match nothing.
-    mask = _local_onehot(idx_ref[0], win0, spec.window, jnp.float32)
+    # [St*K, 2bn] one-hot, bf16 (exact 0/1; halves the dominant VMEM tensor —
+    # at the largest Fuse pair the window is 4096 wide). Sentinel rows match
+    # nothing.
+    mask = _local_onehot(idx_ref[0], win0, spec.window, jnp.bfloat16)
 
     first = jnp.logical_or(ch == 0, jnp.logical_and(ch >= 2, ch <= nc - 1))
 
@@ -541,24 +543,26 @@ def _wscatter_kernel(
         cntA_ref[0] = jnp.zeros(cntA_ref.shape[1:], jnp.float32)
         cntB_ref[0] = jnp.zeros(cntB_ref.shape[1:], jnp.float32)
 
-    # Mask entries are exact 0/1, so only features need the hi/lo split
-    # (same 2-pass trick as scatter_pallas._scatter_kernel).
+    # Mask entries are exact 0/1 in bf16, so only features need splitting:
+    # 3-way bf16 split (exact f32 reconstruction, as _mask_gather's hilo3).
     fe = jnp.broadcast_to(f[:, None, :], (St, K, f.shape[-1])).reshape(
         St * K, f.shape[-1]
     )
-    f_hi = fe.astype(jnp.bfloat16).astype(jnp.float32)
-    f_lo = fe - f_hi
+    from mpa_tpu.ops.pallas.attention_pallas import _split3
+
+    parts = _split3(fe)
     dn = (((0,), (0,)), ((), ()))
     bn = spec.bn
     maskA, maskB = mask[:, :bn], mask[:, bn:]
     for m_ref, cnt_ref, m in ((outA_ref, cntA_ref, maskA), (outB_ref, cntB_ref, maskB)):
-        acc = jax.lax.dot_general(
-            m, f_hi, dimension_numbers=dn, preferred_element_type=jnp.float32
-        ) + jax.lax.dot_general(
-            m, f_lo, dimension_numbers=dn, preferred_element_type=jnp.float32
-        )
+        acc = None
+        for part in parts:
+            t = jax.lax.dot_general(
+                m, part, dimension_numbers=dn, preferred_element_type=jnp.float32
+            )
+            acc = t if acc is None else acc + t
         m_ref[0] += acc
-        cnt = jnp.sum(m, axis=0).reshape(bn, 1)
+        cnt = jnp.sum(m.astype(jnp.float32), axis=0).reshape(bn, 1)
         cnt_ref[0] += jnp.broadcast_to(cnt, (bn, cnt_ref.shape[2]))
 
 

@@ -559,7 +559,16 @@ def main():
     ap.add_argument("--side", choices=("torch", "jax", "compare"), required=True)
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--out", default=os.path.join(REPO, "golden"))
+    ap.add_argument(
+        "--platform", default=None,
+        help="jax platform for --side jax (e.g. cpu when no chip is reachable;"
+        " default = the image's TPU)",
+    )
     args = ap.parse_args()
+    if args.platform and args.side == "jax":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.out, exist_ok=True)
     steps = args.steps or CONFIGS[args.task]["steps"]
     if args.side == "compare":

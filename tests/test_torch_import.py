@@ -33,9 +33,9 @@ def _tree_equal(a, b, path=""):
 
 
 def test_cls_state_dict_roundtrip(tmp_path):
-    import test_model_parity as CLS
+    from torch_side import cls_model as CLS
 
-    tmodel, _, variables_ref = CLS.build_transplanted()
+    tmodel, variables_ref = CLS.build_transplanted()
     path = tmp_path / "best_model.pth"
     # Reference checkpoint format (tool/train_cls_scanobjectnn.py:295-304).
     torch.save({"epoch": 7, "model_state_dict": tmodel.state_dict()}, path)
@@ -58,9 +58,9 @@ def test_cls_state_dict_roundtrip(tmp_path):
 
 
 def test_partseg_state_dict_roundtrip(tmp_path):
-    import test_partseg_model_parity as SEG
+    from torch_side import partseg_model as SEG
 
-    tmodel, _, variables_ref = SEG.build_transplanted()
+    tmodel, variables_ref = SEG.build_transplanted()
     path = tmp_path / "best_model.pth"
     torch.save({"model_state_dict": tmodel.state_dict()}, path)
 
