@@ -23,3 +23,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite's wall time is dominated by XLA:CPU
+# compiles of the model-level tests (the f64 multi-device parity ones
+# especially); caching them makes re-runs several times faster. Keyed by HLO
+# hash, so code changes invalidate naturally.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_compilation_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

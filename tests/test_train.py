@@ -273,7 +273,10 @@ class TestMultiDevicePartSeg:
         in8, l8 = shard_batch((inputs, labels), mesh)
         s8, loss8 = sharded(state8, in8, l8, replicate(rng, mesh))
 
-        assert abs(float(loss1) - float(loss8)) < 1e-5
+        # Loss reassociates differently across the two compilations (one
+        # global mean vs 8 shard-local means + psum); measured gap 1.6e-5 in
+        # f32 at loss ~2.25 — a missing/wrong collective is off by 1e-1+.
+        assert abs(float(loss1) - float(loss8)) < 1e-4
 
         # Sharded-vs-single shapes tile per-sample reductions differently, so
         # a near-tie kNN/FPS selection can flip on isolated samples and move a
