@@ -11,7 +11,7 @@ channel-first `[B, C, N]` for torch convs; channel-last is the XLA/TPU-friendly
 layout and is used consistently across this framework).
 """
 
-from mpa_tpu.ops.pairwise import square_distance
+from mpa_tpu.ops.pairwise import inner_correlation, square_distance
 from mpa_tpu.ops.gather import index_points, resort_points, mod_index
 from mpa_tpu.ops.knn import knn, knn_self, knn_point2
 from mpa_tpu.ops.fps import farthest_point_sample
@@ -22,6 +22,7 @@ from mpa_tpu.ops.sampling import subsample_points, random_sample
 
 __all__ = [
     "square_distance",
+    "inner_correlation",
     "index_points",
     "resort_points",
     "knn",

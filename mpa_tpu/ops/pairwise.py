@@ -36,3 +36,42 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     d2 = jnp.swapaxes(d2, -1, -2)  # [..., 1, M]
     out = s2 + d2 - 2.0 * cross
     return jnp.maximum(out, 0.0)
+
+
+def inner_correlation(
+    z: jnp.ndarray, index: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Cosine-similarity Gram matrix of a point/feature set.
+
+    Reference semantics: ``inner_correlation`` at
+    models/repsurf/repsurf_ssg_umb.py:25-32 (dead in the live forward there;
+    provided as a first-class op for completeness): optionally gather rows by
+    ``index``, L2-normalize the channel dim (torch ``F.normalize`` clamps the
+    norm at 1e-12, replicated here), then form ``z_n @ z_n^T``.
+
+    Args:
+      z: ``[B, N, C]`` features.
+      index: optional ``[B, S]`` (or ``[B, S, K]``) gather indices applied
+        first (reference routes them through ``index_points``).
+
+    Returns:
+      ``[B, S, S]`` (or ``[B, N, N]``) cosine Gram matrix in fp32.
+    """
+    if index is not None:
+        from mpa_tpu.ops.gather import index_points
+
+        z = index_points(z, index)
+    z = z.astype(jnp.float32)
+    # Clamp INSIDE the sqrt: sqrt(max(.)) has a zero (not NaN) gradient on
+    # the clamped branch, so degenerate all-zero rows stay differentiable.
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(z * z, axis=-1, keepdims=True), 1e-24))
+    z_n = z / norm
+    # Gram matmul on the MXU; HIGHEST because cosine similarities near 1
+    # differ at the 1e-3 level for near-duplicate rows.
+    return jnp.einsum(
+        "...nc,...mc->...nm",
+        z_n,
+        z_n,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )

@@ -6,6 +6,7 @@ from mpa_tpu.train.losses import (
     cls_loss,
     smooth_seg_loss,
     chamfer_distance,
+    mi_aux_loss,
 )
 from mpa_tpu.train.schedules import step_decay_schedule, cosine_schedule
 from mpa_tpu.train.metrics import (
@@ -27,6 +28,7 @@ __all__ = [
     "cls_loss",
     "smooth_seg_loss",
     "chamfer_distance",
+    "mi_aux_loss",
     "step_decay_schedule",
     "cosine_schedule",
     "instance_accuracy",

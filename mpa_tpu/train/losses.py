@@ -4,9 +4,9 @@ Reference semantics: ``SmoothClsLoss`` (util/utils.py:74-88) — label-smoothed
 (eps=0.1) NLL over log-probabilities, off-class mass eps/(n_class-1);
 ``ClsLoss`` (util/utils.py:64-71) — plain NLL; part-seg ``get_loss``
 (models/repsurf/pointnet2_part_seg_msg.py:159-180) — the same smoothed CE over
-flattened per-point logits. (The snapshot-only ``get_loss2`` BCE
-mutual-information auxiliary is dead — its inputs are never produced by the
-live forward; documented as excluded, SURVEY.md §2.5.)
+flattened per-point logits; ``mi_aux_loss`` — the snapshot-only ``get_loss2``
+BCE mutual-information auxiliary (log/part_seg/res/pointnet2_part_seg_msg.py:
+182-227; dead in the live forward, provided for completeness).
 """
 
 from __future__ import annotations
@@ -55,3 +55,35 @@ def smooth_seg_loss(
     return smooth_cls_loss(
         log_probs.reshape(B * N, P), labels.reshape(B * N), smoothing
     )
+
+
+def _bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable mean BCE on logits (torch BCEWithLogitsLoss):
+    mean(max(x, 0) - x*t + log1p(exp(-|x|)))."""
+    x, t = logits.astype(jnp.float32), targets.astype(jnp.float32)
+    return jnp.mean(jnp.maximum(x, 0.0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x))))
+
+
+def mi_aux_loss(
+    ret2: jnp.ndarray, ret3: jnp.ndarray, ret4: jnp.ndarray
+) -> jnp.ndarray:
+    """Mutual-information auxiliary loss of the golden part-seg snapshot.
+
+    Reference semantics: ``get_loss2`` at
+    log/part_seg/res/pointnet2_part_seg_msg.py:182-227 — each ``ret`` tensor
+    ``[B, 2M]`` holds M "positive-pair" scores followed by M "negative-pair"
+    scores; BCE-with-logits against [ones(M), zeros(M)] per scale, averaged
+    over the three scales. The snapshot trainer instantiates it
+    (log/part_seg/res/train_partseg.py:101) but the live forward never
+    produces its inputs, so it is an optional auxiliary here, not wired into
+    any model's default loss.
+    """
+
+    def one(ret):
+        m = ret.shape[1] // 2
+        t = jnp.concatenate(
+            [jnp.ones((ret.shape[0], m)), jnp.zeros((ret.shape[0], m))], axis=1
+        )
+        return _bce_with_logits(ret, t)
+
+    return (one(ret2) + one(ret3) + one(ret4)) / 3.0

@@ -218,3 +218,71 @@ class TestSubsample:
         out = np.asarray(ops.subsample_points(pts, 8, key=jax.random.key(0)))
         for b in range(2):
             assert len(np.unique(out[b, :, 0])) == 8
+
+
+class TestInnerCorrelation:
+    """Reference: models/repsurf/repsurf_ssg_umb.py:25-32 (cosine Gram)."""
+
+    def test_matches_numpy(self):
+        r = rng(3)
+        z = r.normal(size=(2, 6, 4)).astype(np.float32)
+        got = np.asarray(ops.inner_correlation(jnp.asarray(z)))
+        zn = z / np.maximum(
+            np.linalg.norm(z, axis=-1, keepdims=True), 1e-12
+        )
+        want = zn @ zn.transpose(0, 2, 1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # Diagonal = self-similarity = 1 for nonzero rows.
+        np.testing.assert_allclose(
+            np.diagonal(got, axis1=1, axis2=2), 1.0, atol=1e-5
+        )
+
+    def test_zero_rows_and_index(self):
+        r = rng(4)
+        z = r.normal(size=(1, 5, 3)).astype(np.float32)
+        z[0, 2] = 0.0  # degenerate row: F.normalize clamp keeps it finite
+        idx = np.array([[2, 0, 4]], dtype=np.int32)
+        got = np.asarray(
+            ops.inner_correlation(jnp.asarray(z), jnp.asarray(idx))
+        )
+        assert got.shape == (1, 3, 3)
+        assert np.all(np.isfinite(got))
+        np.testing.assert_allclose(got[0, 0, :], 0.0, atol=1e-6)  # zero row
+
+    def test_zero_rows_grad_finite(self):
+        # sqrt(max(|z|^2, eps)) keeps the clamped branch's gradient at 0
+        # instead of NaN (jnp.linalg.norm at 0 has a NaN gradient).
+        g = jax.grad(
+            lambda z: ops.inner_correlation(z).sum()
+        )(jnp.zeros((1, 4, 3)))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestMiAuxLoss:
+    """Reference: get_loss2, log/part_seg/res/pointnet2_part_seg_msg.py:182-227."""
+
+    def test_matches_numpy_bce(self):
+        from mpa_tpu import train as tr
+
+        r = rng(5)
+        rets = [r.normal(size=(3, 8)).astype(np.float32) for _ in range(3)]
+        got = float(tr.mi_aux_loss(*[jnp.asarray(x) for x in rets]))
+
+        def bce(x, t):
+            return np.mean(
+                np.maximum(x, 0) - x * t + np.log1p(np.exp(-np.abs(x)))
+            )
+
+        t = np.concatenate([np.ones((3, 4)), np.zeros((3, 4))], axis=1)
+        want = np.mean([bce(x, t) for x in rets])
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_perfect_scores_drive_loss_down(self):
+        from mpa_tpu import train as tr
+
+        good = jnp.concatenate(
+            [jnp.full((2, 4), 20.0), jnp.full((2, 4), -20.0)], axis=1
+        )
+        bad = -good
+        assert float(tr.mi_aux_loss(good, good, good)) < 1e-6
+        assert float(tr.mi_aux_loss(bad, bad, bad)) > 10.0
