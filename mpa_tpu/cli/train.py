@@ -109,8 +109,17 @@ def load_dataset(cfg: TrainConfig):
             tr_p, _, _ = load_modelnet(cfg.data_root, "train", 40, cfg.num_points)
             te_p, _, _ = load_modelnet(cfg.data_root, "test", 40, cfg.num_points)
         else:
-            tr_p, _ = synthetic_clouds(512, cfg.num_points, cfg.num_classes, seed=0)
-            te_p, _ = synthetic_clouds(128, cfg.num_points, cfg.num_classes, seed=1)
+            # Canonical-frame clouds: the regression target in _pose_arrays is
+            # only identifiable if the underlying clouds are NOT themselves
+            # randomly rotated (data/synthetic.py realistic_clouds docstring).
+            from mpa_tpu.data import realistic_clouds
+
+            tr_p, _ = realistic_clouds(
+                512, cfg.num_points, cfg.num_classes, seed=0, canonical_pose=True
+            )
+            te_p, _ = realistic_clouds(
+                128, cfg.num_points, cfg.num_classes, seed=1, canonical_pose=True
+            )
         return _pose_arrays(tr_p, 0), _pose_arrays(te_p, 1)
 
     if cfg.task == "completion":

@@ -22,7 +22,12 @@ from mpa_tpu.data.augment import (
     transform_point_cloud,
     get_aug_args,
 )
-from mpa_tpu.data.synthetic import synthetic_clouds, synthetic_partseg
+from mpa_tpu.data.synthetic import (
+    realistic_clouds,
+    realistic_partseg,
+    synthetic_clouds,
+    synthetic_partseg,
+)
 
 __all__ = [
     "normalize_point_cloud",
@@ -39,6 +44,8 @@ __all__ = [
     "shuffle_points",
     "transform_point_cloud",
     "get_aug_args",
+    "realistic_clouds",
+    "realistic_partseg",
     "synthetic_clouds",
     "synthetic_partseg",
 ]

@@ -99,9 +99,12 @@ def _compose_cloud(
     spec,
     num_points: int,
     weights: Optional[np.ndarray] = None,
+    base_rotation: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample a cloud from a class spec; returns (points, per-point prim id).
-    Applies per-cloud random z-rotation, uniform scale, jitter, and the
+    Applies per-cloud random z-rotation (unless ``base_rotation=False``,
+    which keeps every cloud in its class's canonical frame — required for
+    pose targets to be identifiable), uniform scale, jitter, and the
     reference's pc_normalize (center + unit max radius)."""
     k = len(spec)
     if weights is None:
@@ -117,7 +120,10 @@ def _compose_cloud(
     pid = np.concatenate(ids, axis=0)
     perm = rng.permutation(num_points)
     pts, pid = pts[perm], pid[perm]
-    pts = pts @ _rotation_z(float(rng.uniform(0, 2 * np.pi))).T
+    if base_rotation:
+        pts = pts @ _rotation_z(float(rng.uniform(0, 2 * np.pi))).T
+    else:
+        rng.uniform(0, 2 * np.pi)  # keep the stream position identical
     pts = pts * float(rng.uniform(0.9, 1.1))
     pts = pts + rng.normal(scale=0.01, size=pts.shape)
     pts = pts - pts.mean(axis=0, keepdims=True)
@@ -126,17 +132,32 @@ def _compose_cloud(
 
 
 def realistic_clouds(
-    num: int, num_points: int = 1024, num_classes: int = 15, seed: int = 0
+    num: int,
+    num_points: int = 1024,
+    num_classes: int = 15,
+    seed: int = 0,
+    canonical_pose: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Class-conditional composed-primitive classification clouds: each class
     is a fixed arrangement of 3 randomized primitives; per-cloud pose/scale/
-    jitter randomization keeps the task hard for hundreds of training steps."""
+    jitter randomization keeps the task hard for hundreds of training steps.
+
+    ``canonical_pose=True`` keeps every cloud in its class's canonical frame
+    (no per-cloud base rotation). The pose task needs this: a regression
+    target applied ON TOP of an unknown uniform base rotation is
+    unidentifiable — composed with U(0, 2pi) noise, the best achievable mean
+    geodesic error is 90 deg, which is exactly where training plateaued
+    before this flag existed. (The toy ``synthetic_clouds`` ellipsoids are
+    additionally centrally symmetric, capping pose at error mod pi.)"""
     specs = [_class_spec(1000 + c, 3) for c in range(num_classes)]
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_classes, size=(num,))
     pts = np.empty((num, num_points, 3), dtype=np.float32)
     for i in range(num):
-        pts[i], _ = _compose_cloud(rng, specs[labels[i]], num_points)
+        pts[i], _ = _compose_cloud(
+            rng, specs[labels[i]], num_points,
+            base_rotation=not canonical_pose,
+        )
     return pts, labels.astype(np.int64)
 
 

@@ -179,3 +179,59 @@ class TestNativeIOTruncationGuard:
         if native_io.native_available():
             with pytest.raises(ValueError):
                 native_io.loadtxt(str(p), 3, max_rows=10)
+
+
+class TestCanonicalPoseClouds:
+    """realistic_clouds(canonical_pose=True) must keep same-class clouds in
+    one shared frame — the identifiability precondition for the pose task
+    (cli/train.py _pose_arrays): a z-rotation target stacked on an unknown
+    uniform base rotation is unlearnable (90-deg mean-error floor)."""
+
+    @staticmethod
+    def _xy_angles(pts, labels, cls):
+        """Per-cloud orientation proxy: principal-axis angle of the xy
+        second-moment matrix (defined mod pi)."""
+        out = []
+        for p in pts[labels == cls]:
+            m = p[:, :2].T @ p[:, :2] / len(p)
+            out.append(0.5 * math.atan2(2 * m[0, 1], m[0, 0] - m[1, 1]))
+        return np.asarray(out)
+
+    def _spread(self, canonical_pose, seed):
+        from mpa_tpu.data import realistic_clouds
+
+        pts, labels = realistic_clouds(
+            48, 2048, num_classes=4, seed=seed, canonical_pose=canonical_pose
+        )
+        spreads = []
+        for c in range(4):
+            a = self._xy_angles(pts, labels, c)
+            if len(a) < 4:
+                continue
+            # circular spread of the mod-pi angle: 1 - |mean(exp(2i*a))|
+            spreads.append(1.0 - abs(np.mean(np.exp(2j * a))))
+        # median over classes: the angle proxy is ill-conditioned for a
+        # class whose xy moments happen to be near-isotropic
+        return float(np.median(spreads))
+
+    def test_canonical_clouds_share_a_frame(self):
+        assert self._spread(True, seed=7) < 0.02
+
+    def test_default_clouds_are_randomly_rotated(self):
+        assert self._spread(False, seed=7) > 0.3
+
+    def test_canonical_flag_preserves_rng_stream(self):
+        """Only the rotation differs: per-point primitive sampling, scale,
+        and jitter draws stay aligned, so z-extents match (a z-rotation
+        never moves the z-coordinate) up to the radius renormalization."""
+        from mpa_tpu.data import realistic_clouds
+
+        a, la = realistic_clouds(8, 128, num_classes=2, seed=3)
+        b, lb = realistic_clouds(8, 128, num_classes=2, seed=3, canonical_pose=True)
+        np.testing.assert_array_equal(la, lb)
+        za = a[..., 2] - a[..., 2].mean(axis=1, keepdims=True)
+        zb = b[..., 2] - b[..., 2].mean(axis=1, keepdims=True)
+        # normalize out the per-cloud unit-radius scale before comparing
+        za /= np.abs(za).max(axis=1, keepdims=True)
+        zb /= np.abs(zb).max(axis=1, keepdims=True)
+        np.testing.assert_allclose(za, zb, atol=1e-4)
