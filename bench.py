@@ -161,15 +161,9 @@ def bench_secondary():
 
     def _completion():
         B = 64
-
-        def loss_fn(o, target):
-            coarse, fine = o
-            return tr.chamfer_distance(coarse, target) + tr.chamfer_distance(
-                fine, target
-            )
-
         return _train_bench(
-            get_model("markov_completion"), pts(B, 1024), pts(B, 1024), loss_fn,
+            get_model("markov_completion"), pts(B, 1024), pts(B, 1024),
+            tr.completion_loss,
             tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4),
             B, windows=4, iters=10,
         )

@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 import jax
 import numpy as np
 
-from mpa_tpu.utils.config import TrainConfig, add_config_flags, config_from_args, resolve_config
+from mpa_tpu.utils.config import TrainConfig, add_config_flags, resolve_config
 from mpa_tpu.utils.logging import make_logger
 from mpa_tpu import train as tr
 from mpa_tpu.models import get_model

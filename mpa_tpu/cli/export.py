@@ -23,7 +23,7 @@ from mpa_tpu import train as tr
 from mpa_tpu.models import get_model
 from mpa_tpu.train.checkpoint import BestCheckpointer
 from mpa_tpu.utils.config import (
-    TrainConfig, add_config_flags, config_from_args, resolve_config,
+    TrainConfig, add_config_flags, resolve_config,
 )
 
 NUM_PARTS = 50

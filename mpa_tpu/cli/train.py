@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpa_tpu.utils.config import TrainConfig, add_config_flags, config_from_args, resolve_config
+from mpa_tpu.utils.config import TrainConfig, add_config_flags, resolve_config
 from mpa_tpu.utils.logging import make_logger
 from mpa_tpu.utils.init import set_seed
 from mpa_tpu.utils.profiling import count_params
@@ -249,12 +249,7 @@ def main(argv=None):
         loss_fn = rotation_geodesic_loss
     elif cfg.task == "completion":
         model = get_model(cfg.model)
-
-        def loss_fn(out, target):
-            coarse, fine = out
-            return tr.chamfer_distance(coarse, target) + tr.chamfer_distance(
-                fine, target
-            )
+        loss_fn = tr.completion_loss
     else:
         model = get_model(cfg.model, num_classes=cfg.num_classes)
         loss_fn = lambda out, labels: tr.smooth_cls_loss(out, labels, cfg.label_smoothing)

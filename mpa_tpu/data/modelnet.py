@@ -60,22 +60,27 @@ def load_modelnet(
         ids = ids[:limit]
 
     # The cache validates a stored source fingerprint (hash of the split-list
-    # contents + newest source-file mtime) on load, so fixing/updating dataset
-    # files in place re-parses instead of silently serving stale points
-    # (advisor r1 finding). When the sources are gone (offline/cache-only
-    # deployment), the fingerprint can't be recomputed and the cache is
-    # trusted as-is.
+    # contents plus every source file's (mtime, size), compared by EQUALITY —
+    # an ordering check like stored >= newest misses replacements that carry
+    # older or equal mtimes, e.g. tar/rsync -t re-extracts) on load, so
+    # fixing/updating dataset files in place re-parses instead of silently
+    # serving stale points (advisor r1 finding). When the sources are gone
+    # (offline/cache-only deployment), the fingerprint can't be recomputed
+    # and the cache is trusted as-is.
     import hashlib
 
     ids_hash = hashlib.sha1("\n".join(ids).encode()).hexdigest()[:10]
-    newest_mtime = 0
+    h = hashlib.sha1()
+    any_src = False
     for shape_id in ids:
         name = "_".join(shape_id.split("_")[:-1])
         try:
-            m = os.path.getmtime(os.path.join(root, name, shape_id + ".txt"))
-            newest_mtime = max(newest_mtime, int(m))
+            st = os.stat(os.path.join(root, name, shape_id + ".txt"))
+            h.update(f"{shape_id}:{int(st.st_mtime)}:{st.st_size};".encode())
+            any_src = True
         except OSError:
             pass
+    src_digest = h.hexdigest()[:16] if any_src else ""
     cache_path = os.path.join(
         root,
         f"mpa_cache_mn{num_category}_{split}_{num_point}pts"
@@ -85,9 +90,9 @@ def load_modelnet(
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         stored_hash = str(z["ids_hash"]) if "ids_hash" in z else ""
-        stored_mtime = int(z["src_mtime"]) if "src_mtime" in z else -1
+        stored_digest = str(z["src_digest"]) if "src_digest" in z else None
         fresh = stored_hash == ids_hash and (
-            newest_mtime == 0 or stored_mtime >= newest_mtime
+            src_digest == "" or stored_digest == src_digest
         )
         if fresh:
             return z["points"], z["labels"], classes
@@ -113,7 +118,7 @@ def load_modelnet(
             tmp = cache_path + ".tmp.npz"
             np.savez(
                 tmp, points=pts, labels=labels,
-                ids_hash=ids_hash, src_mtime=newest_mtime,
+                ids_hash=ids_hash, src_digest=src_digest,
             )
             os.replace(tmp, cache_path)
         except OSError:

@@ -6,6 +6,7 @@ from mpa_tpu.train.losses import (
     cls_loss,
     smooth_seg_loss,
     chamfer_distance,
+    completion_loss,
     mi_aux_loss,
 )
 from mpa_tpu.train.schedules import step_decay_schedule, cosine_schedule
@@ -28,6 +29,7 @@ __all__ = [
     "cls_loss",
     "smooth_seg_loss",
     "chamfer_distance",
+    "completion_loss",
     "mi_aux_loss",
     "step_decay_schedule",
     "cosine_schedule",

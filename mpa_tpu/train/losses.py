@@ -47,6 +47,14 @@ def chamfer_distance(
     return jnp.mean(jnp.min(d, axis=-1)) + jnp.mean(jnp.min(d, axis=-2))
 
 
+def completion_loss(out, target: jnp.ndarray) -> jnp.ndarray:
+    """Completion objective for the (coarse, fine) two-stage decoder:
+    unweighted sum of both stages' Chamfer to the full cloud (the single
+    definition used by training, the benchmark, and the multi-chip dryrun)."""
+    coarse, fine = out
+    return chamfer_distance(coarse, target) + chamfer_distance(fine, target)
+
+
 def smooth_seg_loss(
     log_probs: jnp.ndarray, labels: jnp.ndarray, smoothing: float = 0.1
 ) -> jnp.ndarray:

@@ -71,8 +71,15 @@ def main():
     ap.add_argument("--heads", default=None,
                     help="comma-separated subset of heads to (re)run; "
                          "results merge into an existing --out file")
-    ap.add_argument("--out", default=os.path.join(REPO, "golden", "extended_quality.json"))
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default: the committed golden artifact "
+                         "for full runs, a /tmp scratch file for --quick)")
     args = ap.parse_args()
+    if args.out is None:
+        # --quick must never clobber the committed full-run artifact
+        args.out = (os.path.join(tempfile.gettempdir(), "extended_quality_quick.json")
+                    if args.quick
+                    else os.path.join(REPO, "golden", "extended_quality.json"))
 
     results = {}
     if args.heads and os.path.exists(args.out):
@@ -92,7 +99,11 @@ def main():
             t0 = time.time()
             p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
             if p.returncode != 0:
-                results[head] = {"error": p.stderr[-500:]}
+                results[head] = {
+                    "metric": key, "value": None, "bar": bar,
+                    "comparator": cmp_, "pass": False,
+                    "error": p.stderr[-500:],
+                }
                 print(f"{head}: FAILED\n{p.stderr[-2000:]}", flush=True)
                 continue
             val = last_metric(d, key)

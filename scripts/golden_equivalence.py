@@ -69,6 +69,21 @@ def lr_at(task: str, step: int) -> float:
     return 1e-3 + 0.5 * (cfg["lr"] - 1e-3) * (1 + math.cos(math.pi * epoch / 300))
 
 
+def lr_schedule(task: str):
+    """lr_at as an optax schedule (jnp ops on the traced update count), so
+    the JAX side anneals every step exactly like the torch side — not frozen
+    at the step-0 value."""
+    import jax.numpy as jnp
+
+    cfg = CONFIGS[task]
+    spe = cfg["steps_per_epoch"]
+    if task == "cls":
+        return lambda count: cfg["lr"] * jnp.power(0.7, (count // spe) // 20)
+    return lambda count: 1e-3 + 0.5 * (cfg["lr"] - 1e-3) * (
+        1 + jnp.cos(jnp.pi * (count // spe) / 300.0)
+    )
+
+
 # --- deterministic data ------------------------------------------------------
 def cls_batch(step: int):
     from mpa_tpu.data.synthetic import realistic_clouds
@@ -353,7 +368,7 @@ def run_cls_jax(steps: int, out_path: str):
         residuals=(True, False, False, True, True, True),
         dropout=0.0,
     )
-    tx = make_optimizer("adam-l2", lr_at("cls", 0), cfg["weight_decay"])
+    tx = make_optimizer("adam-l2", lr_schedule("cls"), cfg["weight_decay"])
     params, stats = variables["params"], variables["batch_stats"]
     opt_state = tx.init(params)
 
@@ -443,7 +458,7 @@ def run_partseg_jax(steps: int, out_path: str):
         residuals=(True, False, False, True, True), dropout=0.0,
     )
     tx = make_optimizer(
-        "sgd", lr_at("partseg", 0), cfg["weight_decay"], momentum=cfg["momentum"]
+        "sgd", lr_schedule("partseg"), cfg["weight_decay"], momentum=cfg["momentum"]
     )
     params, stats = variables["params"], variables["batch_stats"]
     opt_state = tx.init(params)

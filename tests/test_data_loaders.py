@@ -140,30 +140,31 @@ class TestModelNet:
     def test_cache_invalidated_by_source_update(self, modelnet_root):
         """In-place dataset edits must re-parse, not serve stale cache
         (advisor r1 finding): the cache stores a source fingerprint
-        (split-hash + newest mtime) and validates it on load."""
+        (split-hash + every file's (mtime, size)) compared by EQUALITY, so
+        even a replacement carrying an OLDER mtime (tar / rsync -t style
+        re-extracts) invalidates it."""
+        import glob
         import os
         import time
 
         pts1, _, _ = load_modelnet(modelnet_root, "train", 40, num_point=96)
-        # "Fix" one shape in place: rewrite with doubled coordinates and bump
-        # its mtime past the cached fingerprint.
+        cache = glob.glob(os.path.join(str(modelnet_root), "mpa_cache_*_96pts_*.npz"))[0]
+        digest0 = str(np.load(cache)["src_digest"])
+        # "Fix" one shape in place: rewrite with doubled coordinates and an
+        # mtime OLDER than the cached one (the case a newest-mtime ordering
+        # check misses).
         path = os.path.join(str(modelnet_root), "airplane", "airplane_0000.txt")
         rows = [line.strip().split(",") for line in open(path)]
         with open(path, "w") as f:
             for r in rows:
                 f.write(",".join(str(2 * float(v)) for v in r) + "\n")
-        future = time.time() + 10
-        os.utime(path, (future, future))
+        past = time.time() - 3600
+        os.utime(path, (past, past))
         pts2, _, _ = load_modelnet(modelnet_root, "train", 40, num_point=96)
         # pc_normalize makes uniform scaling invisible; the re-parse is
-        # observable because FPS/head selection sees identical normalized
-        # points — so instead check the cache file was rewritten (fingerprint
-        # advanced past the touched mtime).
-        import glob
-
-        cache = glob.glob(os.path.join(str(modelnet_root), "mpa_cache_*_96pts_*.npz"))[0]
-        z = np.load(cache)
-        assert int(z["src_mtime"]) >= int(future) - 1
+        # observable through the rewritten cache fingerprint.
+        digest1 = str(np.load(cache)["src_digest"])
+        assert digest1 != digest0
         np.testing.assert_array_equal(pts1, pts2)  # scaling normalized away
 
 
