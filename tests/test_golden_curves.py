@@ -81,3 +81,27 @@ class TestPartsegCurve:
         assert abs(t["ins_miou"] - j["ins_miou"]) < 0.02
         assert abs(t["cls_miou"] - j["cls_miou"]) < 0.02
         assert abs(t["point_acc"] - j["point_acc"]) < 0.02
+
+
+class TestExtendedQuality:
+    """golden/extended_quality.json records full synthetic-task convergence
+    runs of the three extended heads through the real CLI pipeline
+    (scripts/extended_quality.py) against BASELINE.md's self-set bars."""
+
+    def _load(self):
+        path = os.path.join(GOLDEN, "extended_quality.json")
+        if not os.path.exists(path):
+            pytest.skip(f"{path} not recorded")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_artifact_is_a_full_run(self):
+        assert not self._load().get("quick", False)
+
+    def test_every_head_present_and_passing(self):
+        results = self._load()["results"]
+        for head in ("semseg", "pose", "completion"):
+            assert head in results, f"{head} missing"
+            r = results[head]
+            assert r.get("pass") is True, f"{head}: {r}"
+            assert r.get("value") is not None
