@@ -349,6 +349,28 @@ def main(argv=None):
             pts = augment.random_shift(jax.random.fold_in(k, 1), pts)
         return pts
 
+    # Pose: resample the target rotation every batch — compose a fresh keyed
+    # z-rotation ON TOP of the stored (cloud, rotation) pair and rotate the
+    # target with it. The supervision is free (any rotation of a valid pair
+    # is a valid pair), the composed angle stays uniform, and the model never
+    # memorizes a fixed cloud->rotation association — without this the eval
+    # geodesic error floors at the train set's generalization gap.
+    pose_key = jax.random.fold_in(root_key, 4)
+
+    @jax.jit
+    def pose_resample(pts, rot, step):
+        k = jax.random.fold_in(pose_key, step)
+        theta = jax.random.uniform(
+            k, (pts.shape[0],), minval=0.0, maxval=2.0 * jnp.pi
+        )
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        z, o = jnp.zeros_like(c), jnp.ones_like(c)
+        r2 = jnp.stack([c, -s, z, s, c, z, z, z, o], -1).reshape(-1, 3, 3)
+        return (
+            jnp.einsum("bij,bnj->bni", r2, pts),
+            jnp.einsum("bij,bjk->bik", r2, rot),
+        )
+
     global_step = 0
     for epoch in range(cfg.epochs):
         t0 = time.time()
@@ -360,6 +382,9 @@ def main(argv=None):
                 inputs = (pts, onehot)
             else:
                 pts, labels = dev_batch
+                inputs = pts
+            if cfg.task == "pose":
+                pts, labels = pose_resample(pts, labels, global_step)
                 inputs = pts
             if use_aug:
                 pts = aug_fn(pts, global_step)
