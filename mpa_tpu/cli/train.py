@@ -115,7 +115,8 @@ def load_dataset(cfg: TrainConfig):
             from mpa_tpu.data import realistic_clouds
 
             tr_p, _ = realistic_clouds(
-                512, cfg.num_points, cfg.num_classes, seed=0, canonical_pose=True
+                cfg.synthetic_train_clouds, cfg.num_points, cfg.num_classes,
+                seed=0, canonical_pose=True,
             )
             te_p, _ = realistic_clouds(
                 128, cfg.num_points, cfg.num_classes, seed=1, canonical_pose=True
@@ -129,7 +130,9 @@ def load_dataset(cfg: TrainConfig):
             tr_p, _, _ = load_modelnet(cfg.data_root, "train", 40, cfg.num_points)
             te_p, _, _ = load_modelnet(cfg.data_root, "test", 40, cfg.num_points)
         else:
-            tr_p, _ = synthetic_clouds(512, cfg.num_points, cfg.num_classes, seed=0)
+            tr_p, _ = synthetic_clouds(
+                cfg.synthetic_train_clouds, cfg.num_points, cfg.num_classes, seed=0
+            )
             te_p, _ = synthetic_clouds(128, cfg.num_points, cfg.num_classes, seed=1)
         return _completion_arrays(tr_p), _completion_arrays(te_p)
 

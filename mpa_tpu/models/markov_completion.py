@@ -6,6 +6,12 @@ path stress": a coarse-to-fine decoder — the encoder's global feature seeds a
 coarse point set (FC decoder), which a folding-style refinement expands by
 ``up_ratio`` with per-point local codes. Trained with symmetric Chamfer
 distance (mpa_tpu.train.losses.chamfer_distance — MXU pairwise distances).
+
+``include_input=True`` (default) appends the observed partial cloud to the
+fine output — standard completion practice (the observed geometry is known
+exactly, so the decoder only has to synthesize the missing region; PCN-family
+models do the same union): it strictly reduces symmetric Chamfer and keeps
+all shapes static.
 """
 
 from __future__ import annotations
@@ -29,13 +35,14 @@ class MarkovCompletion(nn.Module):
     residuals: Sequence[bool] = (True, False, False, True, True, True)
     num_neighbors: int = 8
     encoder_features: int = 1024
+    include_input: bool = True
 
     @nn.compact
     def __call__(
         self, points, *, train: bool = True, rng: Optional[jax.Array] = None
     ):
         """partial cloud ``[B, N, 3]`` -> (coarse ``[B, M, 3]``,
-        fine ``[B, M*up_ratio, 3]``)."""
+        fine ``[B, M*up_ratio (+ N if include_input), 3]``)."""
         B = points.shape[0]
         g = KeepHighResolutionEncoder(
             npoints=tuple(self.npoints),
@@ -68,6 +75,8 @@ class MarkovCompletion(nn.Module):
         fold = LinearUnit(128, norm="batch", name="fold2")(fold, train=train)
         delta = nn.Dense(3, name="fold3")(fold)
         fine = (centre + delta).reshape(B, self.num_coarse * r, 3)
+        if self.include_input:
+            fine = jnp.concatenate([points[..., :3], fine], axis=1)
         return coarse, fine
 
 

@@ -44,7 +44,10 @@ class MarkovPose(nn.Module):
     residuals: Sequence[bool] = (True, False, False, True, True, True)
     num_neighbors: int = 8
     encoder_features: int = 1024
-    dropout: float = 0.3
+    # regression head: light dropout (heavy dropout on the global feature
+    # raises the train/eval gap for continuous regression; measured on the
+    # synthetic SO(3) task)
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(

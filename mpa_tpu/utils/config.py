@@ -27,6 +27,10 @@ class TrainConfig:
     dataset: str = "synthetic"  # 'scanobjectnn' | 'modelnet40' | 'shapenetpart' | 's3dis' | 'synthetic'
     data_root: Optional[str] = None
     batch_size: int = 64
+    # pose/completion synthetic-task train-set size (number of generated
+    # clouds); the eval split stays fixed at 128 so metrics are comparable
+    # across sizes.
+    synthetic_train_clouds: int = 512
 
     # optimization (reference cls defaults: Adam 1e-3 / wd 1e-4 / StepLR 20x0.7)
     optimizer: str = "adam-l2"  # 'adam-l2' | 'sgd'

@@ -155,7 +155,8 @@ class TestCompletion:
         tx = tr.make_optimizer("adam-l2", 1e-3)
         state = tr.create_train_state(model, jax.random.key(0), partial, tx)
         coarse, fine = tr.make_eval_step()(state, partial)
-        assert coarse.shape == (4, 32, 3) and fine.shape == (4, 64, 3)
+        # fine = observed partial (64) + num_coarse*up_ratio (64) synthesized
+        assert coarse.shape == (4, 32, 3) and fine.shape == (4, 128, 3)
 
         def loss_fn(out, target):
             coarse, fine = out
