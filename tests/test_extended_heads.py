@@ -157,6 +157,9 @@ class TestCompletion:
         coarse, fine = tr.make_eval_step()(state, partial)
         # fine = observed partial (64) + num_coarse*up_ratio (64) synthesized
         assert coarse.shape == (4, 32, 3) and fine.shape == (4, 128, 3)
+        # include_input semantics: the observed cloud is passed through
+        # verbatim as the head of the fine output
+        assert np.allclose(np.asarray(fine[:, :64]), np.asarray(partial))
 
         def loss_fn(out, target):
             coarse, fine = out
