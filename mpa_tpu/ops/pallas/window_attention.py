@@ -529,10 +529,6 @@ def _wscatter_kernel(
     win0 = spec.block_g(ch) * spec.bn
     f = feat_ref[0].astype(jnp.float32)  # [sq, C]
     St, K = idx_ref.shape[1], idx_ref.shape[2]
-    # [St*K, 2bn] one-hot, bf16 (exact 0/1; halves the dominant VMEM tensor —
-    # at the largest Fuse pair the window is 4096 wide). Sentinel rows match
-    # nothing.
-    mask = _local_onehot(idx_ref[0], win0, spec.window, jnp.bfloat16)
 
     first = jnp.logical_or(ch == 0, jnp.logical_and(ch >= 2, ch <= nc - 1))
 
@@ -545,25 +541,36 @@ def _wscatter_kernel(
 
     # Mask entries are exact 0/1 in bf16, so only features need splitting:
     # 3-way bf16 split (exact f32 reconstruction, as _mask_gather's hilo3).
-    fe = jnp.broadcast_to(f[:, None, :], (St, K, f.shape[-1])).reshape(
-        St * K, f.shape[-1]
-    )
+    # The one-hot is built PER NEIGHBOUR SLOT k ([St, bn] at a time, not
+    # [St*K, 2bn]): at the largest Fuse pair the window is 4096 wide and a
+    # full [St, K, window] iota + mask would blow the 16M scoped-VMEM limit
+    # (measured: 29.5M at S=1024 -> N=16384). Same FLOPs, ~K-fold less
+    # scratch, and the [St*K, C] feature broadcast disappears (each k reuses
+    # the same [St, C] operand).
     from mpa_tpu.ops.pallas.attention_pallas import _split3
 
-    parts = _split3(fe)
+    parts = _split3(f)
     dn = (((0,), (0,)), ((), ()))
     bn = spec.bn
-    maskA, maskB = mask[:, :bn], mask[:, bn:]
-    for m_ref, cnt_ref, m in ((outA_ref, cntA_ref, maskA), (outB_ref, cntB_ref, maskB)):
+    local = idx_ref[0] - win0  # [St, K]; sentinel/pad rows land out of window
+    n_ids = jax.lax.broadcasted_iota(jnp.int32, (St, bn), 1)
+    for m_ref, cnt_ref, off in ((outA_ref, cntA_ref, 0), (outB_ref, cntB_ref, bn)):
         acc = None
-        for part in parts:
-            t = jax.lax.dot_general(
-                m, part, dimension_numbers=dn, preferred_element_type=jnp.float32
-            )
-            acc = t if acc is None else acc + t
+        cnt = None
+        for k in range(K):
+            # static slice, not local[:, k, None]: jnp int indexing emits a
+            # lax.gather Mosaic cannot lower inside the kernel
+            lk = jax.lax.slice_in_dim(local, k, k + 1, axis=1)  # [St, 1]
+            m = ((lk - off) == n_ids).astype(jnp.bfloat16)
+            for part in parts:
+                t = jax.lax.dot_general(
+                    m, part, dimension_numbers=dn, preferred_element_type=jnp.float32
+                )
+                acc = t if acc is None else acc + t
+            ck = jnp.sum(m.astype(jnp.float32), axis=0)
+            cnt = ck if cnt is None else cnt + ck
         m_ref[0] += acc
-        cnt = jnp.sum(m.astype(jnp.float32), axis=0).reshape(bn, 1)
-        cnt_ref[0] += jnp.broadcast_to(cnt, (bn, cnt_ref.shape[2]))
+        cnt_ref[0] += jnp.broadcast_to(cnt.reshape(bn, 1), (bn, cnt_ref.shape[2]))
 
 
 @functools.partial(jax.jit, static_argnames=("num_fine", "spec"))
