@@ -12,27 +12,35 @@ import jax
 import jax.numpy as jnp
 
 
-def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+def square_distance(
+    src: jnp.ndarray, dst: jnp.ndarray, *, acc_dtype=None
+) -> jnp.ndarray:
     """Pairwise squared L2 distance.
 
     Args:
       src: ``[..., N, C]`` query points/features.
       dst: ``[..., M, C]`` base points/features.
+      acc_dtype: accumulation dtype; None pins f32 — the default everywhere
+        the distances feed top-k/argsort ORDERING, where stable f32 rounding
+        must not drift with input widening (x64 test mode flips near-exact
+        kNN ties otherwise). Value-consumers (Chamfer loss) pass a promoted
+        dtype so x64 runs stay exact end to end.
 
     Returns:
       ``[..., N, M]`` squared distances (clamped at 0 against fp cancellation).
     """
     # -2 a.b^T on the MXU. Full fp32 (HIGHEST = 3-pass bf16 on TPU): distance
     # *ordering* feeds top-k selection, so bf16 default precision is not enough.
+    acc = jnp.dtype(acc_dtype) if acc_dtype is not None else jnp.float32
     cross = jnp.einsum(
         "...nc,...mc->...nm",
         src,
         dst,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
         precision=jax.lax.Precision.HIGHEST,
     )
-    s2 = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1, keepdims=True)  # [..., N, 1]
-    d2 = jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1, keepdims=True)  # [..., M, 1]
+    s2 = jnp.sum(src.astype(acc) ** 2, axis=-1, keepdims=True)  # [..., N, 1]
+    d2 = jnp.sum(dst.astype(acc) ** 2, axis=-1, keepdims=True)  # [..., M, 1]
     d2 = jnp.swapaxes(d2, -1, -2)  # [..., 1, M]
     out = s2 + d2 - 2.0 * cross
     return jnp.maximum(out, 0.0)

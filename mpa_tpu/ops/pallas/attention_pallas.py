@@ -72,6 +72,18 @@ GATHER_PRECISION = "hilo3"
 # between N=512 and N=1024 at the model's widths).
 SMALL_N_THRESHOLD = 512
 
+# Above this node-array size the backward leaves the fused one-hot kernel:
+# its scatter costs E*Npad*W MXU FLOPs — quadratic in scene size at
+# self-scale transitions — while XLA's native scatter-add is row-rate-bound.
+# Measured on v5e at the model's widths (B=2, K=8, W=128, S=N/2): one-hot vs
+# XLA is 3.4/3.8 ms at N=2048, 4.2/4.1 at 4096, 4.2/3.9 at 8192, OOM/5.4 at
+# 16384 (the [K, Npad] mask row + [Npad, W] accumulator exceed scoped VMEM).
+# The per-edge gradients are then computed in plain XLA via the same
+# _attn_math (f32-exact, no bf16 scatter rounding) with the edge-gradient
+# tensor materialized in HBM — the one-hot kernel's HBM saving no longer
+# pays for its FLOPs at these sizes.
+LARGE_N_SCATTER_THRESHOLD = 4096
+
 
 def _split3(x):
     """Exact 3-way bf16 split of f32 ``x``: hi + mid + lo == x bit-for-bit
@@ -534,6 +546,40 @@ def _bwd_scatter_pallas(
     return dpacked[:, :n_points], None
 
 
+@functools.partial(jax.jit, static_argnames=("n_points", "n_branches", "c"))
+def _bwd_scatter_xla(G, shifts, gctx, idx, n_points: int, n_branches: int, c: int):
+    """Large-N backward: same per-edge gradient math as _bwd_scatter_kernel
+    (shared _attn_math), but the scatter-add runs as XLA's native
+    row-rate-bound scatter instead of the one-hot MXU matmul (see
+    LARGE_N_SCATTER_THRESHOLD). f32 throughout — exact, no bf16 rounding."""
+    B, S, K, W = G.shape
+    Gf = G.astype(jnp.float32)
+    g = gctx.astype(jnp.float32)
+    douts, dshifts = [], []
+    for r in range(n_branches):
+        E = Gf[..., 2 * r * c : (2 * r + 1) * c]
+        V = Gf[..., (2 * r + 1) * c : (2 * r + 2) * c]
+        if shifts is not None:
+            V = V + shifts[:, :, None, r * c : (r + 1) * c].astype(jnp.float32)
+        dE, dV = _attn_math(E, V, g[..., r * c : (r + 1) * c])
+        douts += [dE, dV]
+        if shifts is not None:
+            dshifts.append(jnp.sum(dV, axis=2))
+    dG = jnp.concatenate(douts, axis=-1).reshape(B, S * K, W)
+    flat_idx = idx.astype(jnp.int32).reshape(B, S * K)
+    dpacked = (
+        jnp.zeros((B, n_points, W), jnp.float32)
+        .at[jnp.arange(B)[:, None], flat_idx]
+        .add(dG, mode="drop", indices_are_sorted=False, unique_indices=False)
+    )
+    dshift = (
+        jnp.concatenate(dshifts, axis=-1).astype(shifts.dtype)
+        if shifts is not None
+        else None
+    )
+    return dpacked, dshift
+
+
 def _gather(packed, idx):
     B, S, K = idx.shape
     flat = idx.reshape(B, S * K)
@@ -601,10 +647,15 @@ def _attention_bwd(n_branches: int, c: int, res, g):
             scatter_precision=GRAD_SCATTER_PRECISION,
         )
         return dpacked.astype(packed.dtype), None, dshift
-    dpacked, dshift = _bwd_scatter_pallas(
-        G, shifts, g, idx, packed.shape[1], n_branches, c,
-        scatter_precision=GRAD_SCATTER_PRECISION,
-    )
+    if packed.shape[1] > LARGE_N_SCATTER_THRESHOLD:
+        dpacked, dshift = _bwd_scatter_xla(
+            G, shifts, g, idx, packed.shape[1], n_branches, c
+        )
+    else:
+        dpacked, dshift = _bwd_scatter_pallas(
+            G, shifts, g, idx, packed.shape[1], n_branches, c,
+            scatter_precision=GRAD_SCATTER_PRECISION,
+        )
     return dpacked.astype(G.dtype), None, dshift
 
 

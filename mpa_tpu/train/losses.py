@@ -43,7 +43,11 @@ def chamfer_distance(
     completion code — SURVEY.md §0). Pairwise distances ride the MXU."""
     from mpa_tpu.ops.pairwise import square_distance
 
-    d = square_distance(pred, target)  # [B, N, M]
+    # Distances are consumed as VALUES here (min + mean), not as top-k
+    # ordering, so accumulation follows the input dtype (f64 under the x64
+    # sharded-parity tests; f32 pinning would silently downgrade them).
+    acc = jnp.promote_types(jnp.float32, pred.dtype)
+    d = square_distance(pred, target, acc_dtype=acc)  # [B, N, M]
     return jnp.mean(jnp.min(d, axis=-1)) + jnp.mean(jnp.min(d, axis=-2))
 
 

@@ -344,3 +344,71 @@ class TestTransitionAttentionKernel:
             scale = float(np.abs(g32).max())
             err = float(np.abs(g16 - g32).max())
             assert err < 0.02 * scale, f"bwd err {err} vs grad scale {scale}"
+
+
+class TestLargeNBackward:
+    """Above LARGE_N_SCATTER_THRESHOLD the attention backward leaves the
+    fused one-hot kernel for a plain-XLA edge-gradient + native scatter
+    (attention_pallas._bwd_scatter_xla) — the one-hot's E*Npad*W MXU FLOPs
+    grow quadratically with scene size and its VMEM accumulator stops
+    fitting at N=16384. Both the raw function and the dispatch must
+    reproduce autodiff through the XLA reference."""
+
+    def _case(self, seed=0, B=2, N=40, S=16, K=4, nB=2, C=8):
+        from mpa_tpu.ops.pallas.attention_pallas import transition_attention
+
+        r = rng(seed)
+        packed = np.asarray(r.normal(size=(B, N, nB * 2 * C)).astype(np.float32))
+        for b in range(nB):
+            packed[..., 2 * b * C : (2 * b + 1) * C] = np.exp(
+                packed[..., 2 * b * C : (2 * b + 1) * C]
+            )
+        packed = jnp.asarray(packed)
+        idx = jnp.asarray(r.integers(0, N, size=(B, S, K)).astype(np.int32))
+        shifts = jnp.asarray(r.normal(size=(B, S, nB * C)).astype(np.float32))
+        w = jnp.asarray(r.normal(size=(B, S, nB * C)).astype(np.float32))
+        return transition_attention, packed, idx, shifts, w, nB, C
+
+    def test_bwd_scatter_xla_matches_autodiff(self):
+        from mpa_tpu.ops.pallas import attention_pallas as AP
+
+        ta, packed, idx, shifts, w, nB, C = self._case()
+        wp, ws = jax.grad(
+            lambda p, s: jnp.sum(ta(p, idx, s, nB, C, use_pallas=False) * w),
+            argnums=(0, 1),
+        )(packed, shifts)
+        G = AP._gather(packed, idx)
+        gp, gs = AP._bwd_scatter_xla(G, shifts, w, idx, packed.shape[1], nB, C)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), atol=1e-5)
+
+    def test_bwd_scatter_xla_none_shifts(self):
+        from mpa_tpu.ops.pallas import attention_pallas as AP
+
+        ta, packed, idx, _, w, nB, C = self._case(seed=5)
+        wp = jax.grad(
+            lambda p: jnp.sum(ta(p, idx, None, nB, C, use_pallas=False) * w)
+        )(packed)
+        G = AP._gather(packed, idx)
+        gp, gs = AP._bwd_scatter_xla(G, None, w, idx, packed.shape[1], nB, C)
+        assert gs is None
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-5)
+
+    def test_dispatch_through_custom_vjp(self, monkeypatch):
+        """With the threshold lowered, the custom-VJP large-N path must route
+        through _bwd_scatter_xla and still match autodiff end to end."""
+        from mpa_tpu.ops.pallas import attention_pallas as AP
+
+        ta, packed, idx, shifts, w, nB, C = self._case(seed=9)
+        monkeypatch.setattr(AP, "LARGE_N_SCATTER_THRESHOLD", 8)
+        monkeypatch.setattr(AP, "SMALL_N_THRESHOLD", 0)  # force the large path
+        wp, ws = jax.grad(
+            lambda p, s: jnp.sum(ta(p, idx, s, nB, C, use_pallas=False) * w),
+            argnums=(0, 1),
+        )(packed, shifts)
+        gp, gs = jax.grad(
+            lambda p, s: jnp.sum(ta(p, idx, s, nB, C, use_pallas=True) * w),
+            argnums=(0, 1),
+        )(packed, shifts)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(wp), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), atol=1e-5)
