@@ -190,7 +190,10 @@ def bench_semseg_16k():
     labels = jnp.asarray(r.integers(0, 13, size=(B, N)).astype(np.int32))
     npoints = (8192, 4096, 2048, 1024)
     res = {}
-    for mode in ("exact", "window"):
+    # 'window' bands the spatial searches (feature kNN exact); 'window_all'
+    # bands the feature-space kNN too — the full scalability mode (its
+    # approximation quality is measured in docs/PERF.md).
+    for mode in ("exact", "window", "window_all"):
         model = get_model("markov_semseg", npoints=npoints, neighbor_mode=mode)
         _, _, dt, _ = _train_bench(
             model, pts, labels,
@@ -199,9 +202,10 @@ def bench_semseg_16k():
             B, windows=3, iters=3,
         )
         res[f"{mode}_ms_per_step"] = round(dt * 1e3, 1)
-    res["window_speedup"] = round(
-        res["exact_ms_per_step"] / res["window_ms_per_step"], 2
-    )
+    for mode in ("window", "window_all"):
+        res[f"{mode}_speedup"] = round(
+            res["exact_ms_per_step"] / res[f"{mode}_ms_per_step"], 2
+        )
     return res
 
 

@@ -35,12 +35,28 @@ class MarkovSemSeg(nn.Module):
     residuals: Sequence[bool] = (True, False, False, True, True)
     num_neighbors: int = 8
     dropout: float = 0.5
-    # 'window': Morton-sort the block, restrict every LocalMerge neighbour
-    # search to the index window (ops/pallas/window_attention.py), un-permute
-    # the per-point outputs. An approximation (documented there) that turns
-    # the O(N^2) neighbour searches into O(N*window) — the scalability mode
-    # for large scenes. 'exact' (default) is the reference-style semantics.
+    # 'window': Morton-sort the block, restrict every SPATIAL LocalMerge
+    # neighbour search to the index window (ops/pallas/window_attention.py),
+    # un-permute the per-point outputs. An approximation (documented there)
+    # that turns the O(N^2) spatial searches into O(N*window); the
+    # feature-space kNN stays exact. 'window_all' additionally bands the
+    # feature-space kNN — a stronger approximation (ADVICE.md r1; band
+    # agreement and task quality measured in docs/PERF.md) that removes the
+    # last O(N^2) terms: the full scalability mode for large scenes.
+    # 'exact' (default) is the reference-style semantics.
     neighbor_mode: str = "exact"
+
+    @property
+    def _windowed(self) -> bool:
+        return self.neighbor_mode in ("window", "window_all")
+
+    @property
+    def _feature_mode(self) -> str:
+        return "window" if self.neighbor_mode == "window_all" else "exact"
+
+    @property
+    def _spatial_mode(self) -> str:
+        return "window" if self._windowed else "exact"
 
     @nn.compact
     def __call__(
@@ -48,7 +64,7 @@ class MarkovSemSeg(nn.Module):
     ) -> jnp.ndarray:
         B, N, _ = points.shape
         inv_perm = None
-        if self.neighbor_mode == "window":
+        if self._windowed:
             perm = morton_order(points[..., :3])
             inv_perm = jnp.argsort(perm, axis=-1)
             points = jnp.take_along_axis(points, perm[..., None], axis=1)
@@ -64,7 +80,8 @@ class MarkovSemSeg(nn.Module):
         # First state: geometric LocalMerge fused with the input features.
         f0, idx0, d0 = LocalMerge(
             ch[0], self.num_neighbors, residual=self.residuals[0],
-            include_xyz_branch=True, knn_mode=self.neighbor_mode, name="la0",
+            include_xyz_branch=True, knn_mode=self._spatial_mode,
+            feature_knn_mode=self._feature_mode, name="la0",
         )(xyz, xyz, train=train)
         if self.feature_channels:
             f0 = LinearUnit(ch[0], norm="batch", name="feat_in")(
@@ -80,15 +97,15 @@ class MarkovSemSeg(nn.Module):
             fps_idx = farthest_point_sample(
                 cur_xyz, npoint, key=None if fps_keys is None else fps_keys[i]
             )
-            if self.neighbor_mode == "window":
+            if self._windowed:
                 # sorted FPS subset keeps every scale in Morton order (the
                 # banding precondition); an FPS SET is order-invariant.
                 fps_idx = jnp.sort(fps_idx, axis=-1)
             new_xyz = index_points(cur_xyz, fps_idx)
             f, idx_i, _ = LocalMerge(
                 ch[i + 1], self.num_neighbors, residual=self.residuals[i + 1],
-                include_xyz_branch=True, knn_mode=self.neighbor_mode,
-                name=f"la{i + 1}",
+                include_xyz_branch=True, knn_mode=self._spatial_mode,
+                feature_knn_mode=self._feature_mode, name=f"la{i + 1}",
             )(new_xyz, cur_xyz, feature=feats[i], fps_idx=fps_idx, train=train)
             feats[i + 1] = f
             positions[i + 1] = new_xyz
@@ -99,7 +116,7 @@ class MarkovSemSeg(nn.Module):
         # Decoder with per-scale Fuse (same shape as the part-seg decoder).
         fuse_ch = tuple(ch)
         top = LinearUnit(ch[-1], norm="batch", name="mlp")(feats[-1], train=train)
-        top = Fuse(fuse_ch, self.num_neighbors, knn_mode=self.neighbor_mode, name="fuse_top")(
+        top = Fuse(fuse_ch, self.num_neighbors, knn_mode=self._spatial_mode, name="fuse_top")(
             n_scales - 1, feats[:-1] + [top], fps_list, knn_list, positions,
             train=train,
         )[n_scales - 1]
@@ -113,7 +130,7 @@ class MarkovSemSeg(nn.Module):
             # (S, N) pair admits a spec (LocalMerge's deterministic contract),
             # and the banded scatter kernel applies.
             wspec = None
-            if self.neighbor_mode == "window":
+            if self._windowed:
                 from mpa_tpu.ops.pallas.window_attention import (
                     make_window_spec,
                     windowed_scatter_mean,
@@ -138,8 +155,8 @@ class MarkovSemSeg(nn.Module):
             )
             f_s, _, _ = LocalMerge(
                 ch[s], self.num_neighbors, residual=False,
-                include_xyz_branch=True, knn_mode=self.neighbor_mode,
-                name=f"la{s + 1}_up",
+                include_xyz_branch=True, knn_mode=self._spatial_mode,
+                feature_knn_mode=self._feature_mode, name=f"la{s + 1}_up",
             )(
                 positions[s], positions[s], feature=up, train=train,
                 # scale 0's self-kNN was already computed by la0 on the same
@@ -148,7 +165,7 @@ class MarkovSemSeg(nn.Module):
             )
             src = list(feats)
             src[s] = f_s
-            up_feats[s] = Fuse(fuse_ch, self.num_neighbors, knn_mode=self.neighbor_mode, name=f"fuse{step + 1}")(
+            up_feats[s] = Fuse(fuse_ch, self.num_neighbors, knn_mode=self._spatial_mode, name=f"fuse{step + 1}")(
                 s, src, fps_list, knn_list, positions, train=train
             )[s]
 

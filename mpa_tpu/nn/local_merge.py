@@ -45,12 +45,22 @@ class LocalMerge(nn.Module):
     # branch, no fuse layer.
     single_branch: bool = False
     dtype: Any = None  # compute dtype (kNN distance selection stays fp32)
-    # 'window' restricts BOTH neighbour searches to the Morton index window
-    # (ops/pallas/window_attention.py) — a documented approximation for
+    # 'window' restricts the SPATIAL neighbour search to the Morton index
+    # window (ops/pallas/window_attention.py) — a documented approximation for
     # large-scene models whose inputs are Morton-ordered; scale pairs outside
     # the banding contract silently fall back to exact kNN. 'exact' (default)
     # reproduces the reference semantics.
     knn_mode: str = "exact"
+    # 'window' additionally restricts the FEATURE-space kNN (idx_feat) to the
+    # same spatial Morton band. This is a qualitatively STRONGER approximation
+    # than spatial windowing (advisor r1, ADVICE.md): feature-space neighbours
+    # have no spatial-band contract, so the banded search finds the nearest
+    # features *within the local spatial neighbourhood* — a locality prior,
+    # not the global feature search. Opt-in for large-scene scalability
+    # (markov_semseg neighbor_mode='window_all'); measured band agreement and
+    # task quality are documented in docs/PERF.md. Only active when knn_mode
+    # is also 'window' (the band is defined by the Morton sort).
+    feature_knn_mode: str = "exact"
 
     def _knn(self, k, base, query, precomputed=None):
         """Returns (dist, idx, window_spec_or_None).
@@ -127,13 +137,25 @@ class LocalMerge(nn.Module):
             )(feature, center_feat, idx, train=train, window_spec=wspec)
             return out, idx, dist
         # Feature-space kNN: neighbours of the coarse features among the fine.
-        # Always exact, even in window mode: the Morton band is a SPATIAL
+        # Exact by default, even in window mode: the Morton band is a SPATIAL
         # locality contract; feature-space neighbours have no reason to lie in
-        # a spatial index band, so banding this search would be a qualitatively
+        # a spatial index band, so banding this search is a qualitatively
         # stronger approximation than the documented spatial windowing
-        # (advisor r1 finding, ADVICE.md).
-        _, idx_feat = knn(self.num_neighbors, feature, center_feat)
+        # (advisor r1 finding, ADVICE.md). feature_knn_mode='window' opts in
+        # (see the field comment) — rows are Morton-ordered whenever knn_mode
+        # is 'window', so the same banding machinery applies to feature rows.
         wspec_f = None
+        if self.feature_knn_mode == "window" and self.knn_mode == "window":
+            from mpa_tpu.ops.pallas.window_attention import windowed_knn_with_spec
+
+            try:
+                _, idx_feat, wspec_f = windowed_knn_with_spec(
+                    self.num_neighbors, feature, center_feat
+                )
+            except ValueError:
+                _, idx_feat = knn(self.num_neighbors, feature, center_feat)
+        else:
+            _, idx_feat = knn(self.num_neighbors, feature, center_feat)
 
         trans1 = LocalTrans(
             self.out_channels,

@@ -20,7 +20,9 @@ class TrainConfig:
     num_classes: int = 15
     num_points: int = 1024
     # semseg only: 'exact' (reference semantics) | 'window' (Morton-window
-    # neighbourhoods - the large-scene scalability mode, see docs/PERF.md)
+    # spatial neighbourhoods - the large-scene scalability mode, see
+    # docs/PERF.md) | 'window_all' (feature-space kNN banded too - the full
+    # scalability mode, a stronger documented approximation)
     neighbor_mode: str = 'exact'
 
     # data

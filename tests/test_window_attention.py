@@ -123,11 +123,12 @@ class TestSemsegWindowMode:
         pts = _morton_cloud(2, 256, seed=20)  # pre-sorting is NOT required
         return model, pts
 
-    def test_forward_and_train_step(self):
+    @pytest.mark.parametrize("mode", ["window", "window_all"])
+    def test_forward_and_train_step(self, mode):
         import jax
         from mpa_tpu import train as tr
 
-        model, pts = self._model_and_input("window")
+        model, pts = self._model_and_input(mode)
         tx = tr.make_optimizer("sgd", 0.05, momentum=0.9)
         state = tr.create_train_state(model, jax.random.key(0), pts, tx)
         segs = jax.random.randint(jax.random.key(1), pts.shape[:2], 0, 5)
@@ -140,13 +141,14 @@ class TestSemsegWindowMode:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
-    def test_permutation_equivariance(self):
+    @pytest.mark.parametrize("mode", ["window", "window_all"])
+    def test_permutation_equivariance(self, mode):
         """The Morton sort canonicalizes row order, so a permuted input must
         produce exactly the permuted output (eval mode, deterministic FPS) —
         this proves the un-permutation wiring is correct."""
         import jax
 
-        model, pts = self._model_and_input("window")
+        model, pts = self._model_and_input(mode)
         variables = model.init(jax.random.key(0), pts, train=False)
         out = model.apply(variables, pts, train=False)
 
@@ -329,3 +331,71 @@ class TestFuseWindowMode:
             )
             assert out[0].shape == (B, 256, 8)
             assert jnp.all(jnp.isfinite(out[0]))
+
+
+class TestFeatureBanding:
+    """LocalMerge feature_knn_mode='window' (the window_all approximation):
+    the feature-space search must be restricted to the same Morton band as
+    the spatial search, and fall back to exact when banding is off."""
+
+    def _merge(self, feature_mode):
+        from mpa_tpu.nn.local_merge import LocalMerge
+
+        return LocalMerge(
+            8, 4, include_xyz_branch=True, knn_mode="window",
+            feature_knn_mode=feature_mode,
+        )
+
+    def test_banded_feature_idx_inside_window(self):
+        from mpa_tpu.ops.pallas import window_attention as WA
+
+        # N/S large enough that the Morton window is a strict subset
+        # (n_chunks=4 -> window = N/2); at n_chunks=2 the band covers all N.
+        B, N, S, C = 2, 1024, 512, 8
+        base_xyz = _morton_cloud(B, N, seed=31)
+        base_xyz = jnp.take_along_axis(
+            base_xyz, morton.morton_order(base_xyz)[..., None], axis=1
+        )
+        fps_idx = jnp.sort(
+            jnp.stack([jnp.arange(0, N, 2, dtype=jnp.int32)] * B), axis=-1
+        )
+        xyz = jnp.take_along_axis(base_xyz, fps_idx[..., None], axis=1)
+        feature = jax.random.normal(jax.random.key(3), (B, N, C))
+
+        merge = self._merge("window")
+        variables = merge.init(
+            jax.random.key(0), xyz, base_xyz, feature=feature, fps_idx=fps_idx
+        )
+        # Reconstruct what the banded feature search returns and check the
+        # band invariant directly (the module output folds it in).
+        spec = WA.make_window_spec(S, N)
+        _, idx_feat, _ = WA.windowed_knn_with_spec(
+            4, feature, jnp.take_along_axis(feature, fps_idx[..., None], axis=1)
+        )
+        idx_np = np.asarray(idx_feat)
+        for s in range(S):
+            c = (s + spec.pad) // spec.sq
+            g = int(np.clip(c - 1, 0, spec.n_chunks - 2))
+            lo, hi = g * spec.bn, g * spec.bn + spec.window
+            assert ((idx_np[:, s] >= lo) & (idx_np[:, s] < hi)).all(), s
+        # Exact mode picks at least sometimes outside the band (sanity that
+        # the two modes genuinely differ on random features).
+        from mpa_tpu.ops.knn import knn
+
+        _, idx_exact = knn(
+            4, feature, jnp.take_along_axis(feature, fps_idx[..., None], axis=1)
+        )
+        diff = (np.asarray(idx_exact) != idx_np).mean()
+        assert diff > 0.2, f"banded vs exact feature kNN differ only {diff:.1%}"
+        # And the module itself runs under both modes.
+        out_w = merge.apply(
+            variables, xyz, base_xyz, feature=feature, fps_idx=fps_idx,
+            train=False,
+        )[0]
+        out_e = self._merge("exact").apply(
+            variables, xyz, base_xyz, feature=feature, fps_idx=fps_idx,
+            train=False,
+        )[0]
+        assert np.isfinite(np.asarray(out_w)).all()
+        assert np.isfinite(np.asarray(out_e)).all()
+        assert float(jnp.max(jnp.abs(out_w - out_e))) > 0  # modes differ
