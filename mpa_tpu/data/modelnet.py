@@ -23,18 +23,9 @@ import numpy as np
 from mpa_tpu.data.shapenetpart import pc_normalize
 
 
-def _fps_numpy(points: np.ndarray, n: int) -> np.ndarray:
-    """Single-cloud FPS (reference dataset/ModelNetDataLoader.py:20-41)."""
-    N = points.shape[0]
-    out = np.zeros((n,), dtype=np.int64)
-    dist = np.full((N,), np.inf)
-    far = 0
-    for i in range(n):
-        out[i] = far
-        d = np.sum((points[:, :3] - points[far, :3]) ** 2, axis=-1)
-        dist = np.minimum(dist, d)
-        far = int(np.argmax(dist))
-    return out
+# Host-side FPS lives in native_io (C++ with a numpy fallback; both match the
+# reference dataset/ModelNetDataLoader.py:20-41 semantics bit-for-bit).
+from mpa_tpu.data.native_io import _fps_numpy  # noqa: F401  (re-export)
 
 
 def load_modelnet(
@@ -107,7 +98,9 @@ def load_modelnet(
 
         cloud = loadtxt(path, 6)  # comma xyz + normal
         if use_fps:
-            cloud = cloud[_fps_numpy(cloud, num_point)]
+            from mpa_tpu.data.native_io import fps_indices
+
+            cloud = cloud[fps_indices(cloud, num_point)]
         else:
             cloud = cloud[:num_point]
         cloud[:, :3] = pc_normalize(cloud[:, :3])

@@ -31,7 +31,10 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO):
+        stale = os.path.exists(_SO) and os.path.exists(_SRC) and (
+            os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        )
+        if not os.path.exists(_SO) or stale:
             if not os.path.exists(_SRC):
                 return None
             os.makedirs(_BUILD_DIR, exist_ok=True)
@@ -59,6 +62,25 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_long),
             ctypes.c_long,
             ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.pointio_fps.restype = None
+        lib.pointio_fps.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.pointio_fps_many.restype = None
+        lib.pointio_fps_many.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
             ctypes.c_int,
         ]
         _lib = lib
@@ -89,6 +111,60 @@ def loadtxt(path: str, n_cols: int, max_rows: int = 1 << 18) -> np.ndarray:
             "(refusing to silently truncate)"
         )
     return out[:rows].copy()
+
+
+def _fps_numpy(points: np.ndarray, n: int) -> np.ndarray:
+    """Reference offline FPS (dataset/ModelNetDataLoader.py:20-41 semantics):
+    start at row 0, float32 min-distance table, first-occurrence argmax."""
+    N = points.shape[0]
+    out = np.zeros((n,), dtype=np.int64)
+    dist = np.full((N,), np.inf)
+    far = 0
+    for i in range(n):
+        out[i] = far
+        d = np.sum((points[:, :3] - points[far, :3]) ** 2, axis=-1)
+        dist = np.minimum(dist, d)
+        far = int(np.argmax(dist))
+    return out
+
+
+def fps_indices(points: np.ndarray, n: int) -> np.ndarray:
+    """Exact host-side FPS indices for one cloud ``[N, C>=3]`` (native C++
+    when available, numpy fallback; identical picks either way)."""
+    lib = _load()
+    if lib is None:
+        return _fps_numpy(np.asarray(points, np.float32), n)
+    pts = np.ascontiguousarray(points, np.float32)
+    out = np.empty((n,), np.int64)
+    lib.pointio_fps(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pts.shape[0], pts.shape[1], n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return out
+
+
+def fps_indices_many(
+    points: np.ndarray, counts: np.ndarray, n: int, n_threads: int = 16
+) -> np.ndarray:
+    """Threaded FPS over a padded batch ``[M, max_pts, C]`` with per-cloud row
+    counts ``[M]`` (padding rows ignored). Returns indices ``[M, n]``."""
+    lib = _load()
+    pts = np.ascontiguousarray(points, np.float32)
+    cnt = np.ascontiguousarray(counts, np.int64)
+    if lib is None:
+        return np.stack(
+            [_fps_numpy(pts[i, : cnt[i]], n) for i in range(pts.shape[0])]
+        )
+    out = np.empty((pts.shape[0], n), np.int64)
+    lib.pointio_fps_many(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        pts.shape[0], pts.shape[1], pts.shape[2], n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n_threads,
+    )
+    return out
 
 
 def loadtxt_many(

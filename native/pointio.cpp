@@ -96,4 +96,78 @@ void pointio_parse_many(const char* const* paths, long n_files, float* out,
         pthread_join(threads[t], nullptr);
 }
 
+// Exact farthest-point sampling over one cloud. pts is row-major
+// [n_pts, stride] with xyz in the first 3 columns; writes n_out indices.
+// Matches the reference's offline numpy FPS (dataset/ModelNetDataLoader.py:20-41
+// lineage; mpa_tpu/data/modelnet.py:_fps_numpy) bit-for-bit: start at row 0,
+// float32 min-distance table, first-occurrence argmax.
+void pointio_fps(const float* pts, long n_pts, int stride, long n_out,
+                 long* out_idx) {
+    if (n_pts <= 0 || n_out <= 0) return;
+    float* dist = (float*)malloc(n_pts * sizeof(float));
+    if (!dist) return;
+    for (long i = 0; i < n_pts; ++i) dist[i] = 1e30f;
+    long far = 0;
+    for (long i = 0; i < n_out; ++i) {
+        out_idx[i] = far;
+        const float fx = pts[far * stride + 0];
+        const float fy = pts[far * stride + 1];
+        const float fz = pts[far * stride + 2];
+        long best = 0;
+        float best_d = -1.0f;
+        for (long j = 0; j < n_pts; ++j) {
+            const float dx = pts[j * stride + 0] - fx;
+            const float dy = pts[j * stride + 1] - fy;
+            const float dz = pts[j * stride + 2] - fz;
+            // Same association order as the numpy reduction: (dx2+dy2)+dz2.
+            const float d = (dx * dx + dy * dy) + dz * dz;
+            const float m = d < dist[j] ? d : dist[j];
+            dist[j] = m;
+            if (m > best_d) { best_d = m; best = j; }
+        }
+        far = best;
+    }
+    free(dist);
+}
+
+struct FpsJob {
+    const float* pts;       // [n_clouds * max_pts * stride]
+    const long* n_pts;      // [n_clouds] actual rows per cloud
+    long* out_idx;          // [n_clouds * n_out]
+    long n_clouds;
+    long max_pts;
+    int stride;
+    long n_out;
+    long next;
+    pthread_mutex_t lock;
+};
+
+static void* fps_worker(void* arg) {
+    FpsJob* job = (FpsJob*)arg;
+    for (;;) {
+        pthread_mutex_lock(&job->lock);
+        long i = job->next++;
+        pthread_mutex_unlock(&job->lock);
+        if (i >= job->n_clouds) break;
+        pointio_fps(job->pts + i * job->max_pts * job->stride, job->n_pts[i],
+                    job->stride, job->n_out, job->out_idx + i * job->n_out);
+    }
+    return nullptr;
+}
+
+// FPS over a whole split in parallel (the ModelNet cache-build hot loop).
+void pointio_fps_many(const float* pts, const long* n_pts, long n_clouds,
+                      long max_pts, int stride, long n_out, long* out_idx,
+                      int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    FpsJob job = {pts, n_pts, out_idx, n_clouds, max_pts, stride, n_out, 0,
+                  PTHREAD_MUTEX_INITIALIZER};
+    pthread_t threads[64];
+    for (int t = 0; t < n_threads; ++t)
+        pthread_create(&threads[t], nullptr, fps_worker, &job);
+    for (int t = 0; t < n_threads; ++t)
+        pthread_join(threads[t], nullptr);
+}
+
 }  // extern "C"

@@ -57,3 +57,39 @@ class TestNativeIO:
     def test_missing_file(self):
         with pytest.raises(FileNotFoundError):
             native_io.loadtxt("/nonexistent/file.txt", 7)
+
+
+class TestNativeFPS:
+    """Native host-side FPS (the ModelNet use_fps cache-build hot loop) must
+    pick bit-for-bit the same indices as the reference-semantics numpy FPS
+    (dataset/ModelNetDataLoader.py:20-41 lineage)."""
+
+    def test_single_cloud_exact(self):
+        r = np.random.default_rng(1)
+        for _ in range(4):
+            N = int(r.integers(100, 2500))
+            C = int(r.integers(3, 7))
+            n = int(r.integers(8, min(N, 256)))
+            pts = r.normal(size=(N, C)).astype(np.float32)
+            np.testing.assert_array_equal(
+                native_io.fps_indices(pts, n), native_io._fps_numpy(pts, n)
+            )
+
+    def test_many_ragged_exact(self):
+        r = np.random.default_rng(2)
+        M, maxN = 6, 900
+        counts = r.integers(200, maxN + 1, size=(M,))
+        batch = r.normal(size=(M, maxN, 3)).astype(np.float32)
+        got = native_io.fps_indices_many(batch, counts, 48, n_threads=3)
+        for i in range(M):
+            np.testing.assert_array_equal(
+                got[i], native_io._fps_numpy(batch[i, : counts[i]], 48)
+            )
+
+    def test_oversample_repeats_like_numpy(self):
+        # n > N keeps producing indices (argmax over exhausted dist table);
+        # whatever numpy does, the native path must match it.
+        pts = np.random.default_rng(3).normal(size=(10, 3)).astype(np.float32)
+        np.testing.assert_array_equal(
+            native_io.fps_indices(pts, 16), native_io._fps_numpy(pts, 16)
+        )
