@@ -47,7 +47,23 @@ def _compare_trees(got_tree, want_tree, atol, rtol=1e-3):
     assert n_checked > 50  # the whole model, not a token few
 
 
+def _once(fn):
+    """Run the expensive grad computation once per class (both test methods
+    consume the same tuple; ~13 s execution each on the 1-core image)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self):
+        cls = type(self)
+        if not hasattr(cls, "_run_cache"):
+            cls._run_cache = fn(self)
+        return cls._run_cache
+
+    return wrapper
+
+
 class TestClsGradParity:
+    @_once
     def _run(self):
         def build():
             from torch_side.cls_model import grad_fixture
@@ -83,6 +99,7 @@ class TestClsGradParity:
 
 
 class TestPartSegGradParity:
+    @_once
     def _run(self):
         def build():
             from torch_side.partseg_model import grad_fixture
