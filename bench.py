@@ -36,6 +36,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Persistent XLA compilation cache: the suite compiles ~12 distinct programs
+# (two headline steps, the exported serve artifact, four secondary models and
+# three 16k-scene modes); cold compiles dominate wall time, warm runs reuse
+# them across invocations.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_bench_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+_T0 = time.perf_counter()
+
+# Soft wall-clock budget: the primary metrics always run; the optional blocks
+# (serve / secondary models / 16k scenes) are skipped with a note once the
+# budget is exhausted, so a cold-cache run on a slow host still prints its
+# JSON line instead of being killed by an outer timeout.
+_BUDGET_S = float(os.environ.get("MPA_BENCH_BUDGET_S", "2400"))
+
+
+def _mark(label):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {label}", file=sys.stderr, flush=True)
+
+
+def _over_budget():
+    return time.perf_counter() - _T0 > _BUDGET_S
+
 V5E_PEAK_FLOPS = 197e12  # bf16
 
 
@@ -124,6 +150,9 @@ def bench_secondary():
     out = {}
 
     def block(name, fn):
+        if _over_budget():
+            out[name] = {"skipped": "bench wall-clock budget exhausted"}
+            return
         try:
             best, med, dt, flops = fn()
             out[name] = {
@@ -201,6 +230,10 @@ def bench_semseg_16k():
     # bands the feature-space kNN too — the full scalability mode (its
     # approximation quality is measured in docs/PERF.md).
     for mode in ("exact", "window", "window_all"):
+        if _over_budget():
+            res[f"{mode}_ms_per_step"] = None
+            res["note"] = "bench wall-clock budget exhausted mid-block"
+            break
         model = get_model("markov_semseg", npoints=npoints, neighbor_mode=mode)
         _, _, dt, _ = _train_bench(
             model, pts, labels,
@@ -210,9 +243,10 @@ def bench_semseg_16k():
         )
         res[f"{mode}_ms_per_step"] = round(dt * 1e3, 1)
     for mode in ("window", "window_all"):
-        res[f"{mode}_speedup"] = round(
-            res["exact_ms_per_step"] / res[f"{mode}_ms_per_step"], 2
-        )
+        if res.get("exact_ms_per_step") and res.get(f"{mode}_ms_per_step"):
+            res[f"{mode}_speedup"] = round(
+                res["exact_ms_per_step"] / res[f"{mode}_ms_per_step"], 2
+            )
     return res
 
 
@@ -280,17 +314,24 @@ def _flops(step, state, args):
 
 
 def main():
+    _mark("start")
     cls_best, cls_med, cls_dt, cls_flops = bench_cls()
+    _mark("cls done")
     ps_best, ps_med, ps_dt, ps_flops = bench_partseg()
+    _mark("partseg done")
+    skipped = {"skipped": f"bench wall-clock budget ({_BUDGET_S:.0f}s) exhausted"}
     try:
-        serve_block = bench_serve()
+        serve_block = skipped if _over_budget() else bench_serve()
     except Exception as e:  # serving must never sink the primary metrics
         serve_block = {"error": f"{type(e).__name__}: {e}"[:200]}
-    secondary = bench_secondary()
+    _mark("serve done")
+    secondary = skipped if _over_budget() else bench_secondary()
+    _mark("secondary done")
     try:
-        semseg16k = bench_semseg_16k()
+        semseg16k = skipped if _over_budget() else bench_semseg_16k()
     except Exception as e:
         semseg16k = {"error": f"{type(e).__name__}: {e}"[:200]}
+    _mark("semseg16k done")
 
     def block(best, med, dt, flops, baseline):
         return {
