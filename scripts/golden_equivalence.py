@@ -44,6 +44,21 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 INIT_SEED = 2800  # the reference's own published seed
 DATA_SEED = 41
+VOTE_SEED = 777  # deterministic vote-TTA scale draws, shared by both sides
+NUM_VOTES = 3  # the reference's training-eval vote count (tool/train_cls_scanobjectnn.py:97)
+
+
+def vote_scales(n_clouds: int, votes: int = NUM_VOTES):
+    """Per-vote xyz scale factors for the published vote-TTA protocol: vote 0
+    is the unscaled cloud, later votes scale uniformly in [0.95, 1.05]
+    (reference PointcloudScale, tool/test_classification.py:68-79,138).
+    Drawn once from a fixed seed so torch and jax sides vote on IDENTICAL
+    inputs."""
+    rng = np.random.default_rng(VOTE_SEED)
+    return [np.ones((n_clouds, 1, 1), np.float32)] + [
+        rng.uniform(0.95, 1.05, (n_clouds, 1, 1)).astype(np.float32)
+        for _ in range(votes - 1)
+    ]
 
 CONFIGS = {
     "cls": dict(
@@ -162,8 +177,69 @@ def fast_cpu_upsample(points, knn_idx_, scale_ratio=2, dist=None):
     return (acc / cnt.unsqueeze(-1)).view(B, N, C)
 
 
+# --- state save / resume ------------------------------------------------------
+def _torch_state_path(out_path):
+    return out_path.replace(".jsonl", "_state.pt")
+
+
+def _save_torch_state(tmodel, opt, step, out_path):
+    import torch
+
+    tmp = _torch_state_path(out_path) + ".tmp"
+    torch.save({"model": tmodel.state_dict(), "opt": opt.state_dict(),
+                "step": step}, tmp)
+    os.replace(tmp, _torch_state_path(out_path))
+
+
+def _resume_torch(tmodel, opt, out_path, resume):
+    import torch
+
+    sp = _torch_state_path(out_path)
+    if resume and os.path.exists(sp):
+        st = torch.load(sp, weights_only=True)
+        tmodel.load_state_dict(st["model"])
+        opt.load_state_dict(st["opt"])
+        print(f"[resume] {sp} at step {st['step']}", flush=True)
+        return st["step"]
+    return 0
+
+
+def _jax_state_path(out_path):
+    return out_path.replace(".jsonl", "_state.pkl")
+
+
+def _save_jax_state(params, stats, opt_state, step, out_path):
+    import pickle
+
+    import jax
+
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    tmp = _jax_state_path(out_path) + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump({"params": to_np(params), "stats": to_np(stats),
+                     "opt_state": to_np(opt_state), "step": step}, f)
+    os.replace(tmp, _jax_state_path(out_path))
+
+
+def _resume_jax(params, stats, opt_state, out_path, resume):
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    sp = _jax_state_path(out_path)
+    if resume and os.path.exists(sp):
+        with open(sp, "rb") as f:
+            st = pickle.load(f)
+        to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        print(f"[resume] {sp} at step {st['step']}", flush=True)
+        return (to_j(st["params"]), to_j(st["stats"]),
+                to_j(st["opt_state"]), st["step"])
+    return params, stats, opt_state, 0
+
+
 # --- torch runners -----------------------------------------------------------
-def run_cls_torch(steps: int, out_path: str):
+def run_cls_torch(steps: int, out_path: str, resume: bool = False):
     import torch
     from ref_oracle import load_reference, _farthest_point_sample
 
@@ -185,8 +261,17 @@ def run_cls_torch(steps: int, out_path: str):
         sm = oh * (1 - eps) + (1 - oh) * eps / (n - 1)
         return -(sm * logp).sum(-1).mean()
 
-    with open(out_path, "w") as f:
-        for step in range(steps):
+    def batched_logp(clouds):
+        lps = []
+        with torch.no_grad():
+            for i in range(0, len(clouds), cfg["batch"]):
+                bx = torch.from_numpy(clouds[i : i + cfg["batch"]].transpose(0, 2, 1))
+                lps.append(tmodel(bx).numpy())
+        return np.concatenate(lps)
+
+    start = _resume_torch(tmodel, opt, out_path, resume)
+    with open(out_path, "a" if start else "w") as f:
+        for step in range(start, steps):
             lr = lr_at("cls", step)
             for g in opt.param_groups:
                 g["lr"] = lr
@@ -234,9 +319,30 @@ def run_cls_torch(steps: int, out_path: str):
                 f.write(json.dumps(rec) + "\n")
                 f.flush()
                 print(f"[torch cls] {rec}", flush=True)
+                _save_torch_state(tmodel, opt, step + 1, out_path)
+                if step == steps - 1:
+                    # published-protocol vote-TTA point: mean of log-probs
+                    # over NUM_VOTES scaled votes (tool/train_cls_scanobjectnn.py:92-107)
+                    tmodel.eval()
+                    vote_lp = None
+                    for sc in vote_scales(len(ex)):
+                        lp = batched_logp(ex * sc)
+                        vote_lp = lp if vote_lp is None else vote_lp + lp
+                    tmodel.train()
+                    vpred = np.argmax(vote_lp / NUM_VOTES, -1)
+                    rec = {
+                        "kind": "vote_eval", "step": step, "votes": NUM_VOTES,
+                        "acc": round(instance_accuracy(vpred, ey), 4),
+                        "cls_acc": round(
+                            class_average_accuracy(vpred, ey, cfg["num_classes"]), 4
+                        ),
+                    }
+                    f.write(json.dumps(rec) + "\n")
+                    f.flush()
+                    print(f"[torch cls] {rec}", flush=True)
 
 
-def run_partseg_torch(steps: int, out_path: str):
+def run_partseg_torch(steps: int, out_path: str, resume: bool = False):
     import torch
     import torch.nn.functional as F
     from ref_oracle import load_reference, _farthest_point_sample
@@ -266,8 +372,18 @@ def run_partseg_torch(steps: int, out_path: str):
         sm = oh * (1 - eps) + (1 - oh) * eps / (n - 1)
         return -(sm * lp).sum(-1).mean()
 
-    with open(out_path, "w") as f:
-        for step in range(steps):
+    def batched_logp_seg(clouds):
+        lps = []
+        with torch.no_grad():
+            for i in range(0, len(clouds), cfg["batch"]):
+                bx = torch.from_numpy(clouds[i : i + cfg["batch"]].transpose(0, 2, 1))
+                boh = torch.from_numpy(eoh[i : i + cfg["batch"], None, :])
+                lps.append(F.log_softmax(tmodel(bx, boh), -1).numpy())
+        return np.concatenate(lps)
+
+    start = _resume_torch(tmodel, opt, out_path, resume)
+    with open(out_path, "a" if start else "w") as f:
+        for step in range(start, steps):
             lr = lr_at("partseg", step)
             for g in opt.param_groups:
                 g["lr"] = lr
@@ -326,6 +442,31 @@ def run_partseg_torch(steps: int, out_path: str):
                 f.write(json.dumps(rec) + "\n")
                 f.flush()
                 print(f"[torch partseg] {rec}", flush=True)
+                _save_torch_state(tmodel, opt, step + 1, out_path)
+                if step == steps - 1:
+                    # vote-TTA point (tool/test_partseg.py:143-147 protocol:
+                    # scaled votes, pooled predictions, masked argmax)
+                    tmodel.eval()
+                    vote_lp = None
+                    for sc in vote_scales(len(ep)):
+                        lp = batched_logp_seg(ep * sc)
+                        vote_lp = lp if vote_lp is None else vote_lp + lp
+                    tmodel.train()
+                    for m in tmodel.modules():
+                        if isinstance(m, torch.nn.Dropout):
+                            m.eval()
+                    vpred = category_masked_argmax(vote_lp / NUM_VOTES, ec, SEG_PARTS)
+                    vins, vcls, _ = part_iou_metrics(
+                        list(vpred), list(el), list(ec), SEG_PARTS
+                    )
+                    rec = {
+                        "kind": "vote_eval", "step": step, "votes": NUM_VOTES,
+                        "ins_miou": round(vins, 4), "cls_miou": round(vcls, 4),
+                        "point_acc": round(point_accuracy(list(vpred), list(el)), 4),
+                    }
+                    f.write(json.dumps(rec) + "\n")
+                    f.flush()
+                    print(f"[torch partseg] {rec}", flush=True)
 
 
 # --- jax runners -------------------------------------------------------------
@@ -341,7 +482,7 @@ def _exact_tpu_kernels():
     attention_pallas.GATHER_PRECISION = "hilo3"
 
 
-def run_cls_jax(steps: int, out_path: str):
+def run_cls_jax(steps: int, out_path: str, resume: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -393,9 +534,16 @@ def run_cls_jax(steps: int, out_path: str):
         out = jmodel.apply({"params": params, "batch_stats": stats}, x, train=False)
         return smooth_cls_loss(out, y), jnp.argmax(out, -1)
 
+    @jax.jit
+    def logp_fn(params, stats, x):
+        return jmodel.apply({"params": params, "batch_stats": stats}, x, train=False)
+
     ex, ey = cls_eval_set()
-    with open(out_path, "w") as f:
-        for step in range(steps):
+    params, stats, opt_state, start = _resume_jax(
+        params, stats, opt_state, out_path, resume
+    )
+    with open(out_path, "a" if start else "w") as f:
+        for step in range(start, steps):
             x, y = cls_batch(step)
             t0 = time.time()
             params, stats, opt_state, loss, acc = step_fn(
@@ -430,9 +578,33 @@ def run_cls_jax(steps: int, out_path: str):
                 f.write(json.dumps(rec) + "\n")
                 f.flush()
                 print(f"[jax cls] {rec}", flush=True)
+                _save_jax_state(params, stats, opt_state, step + 1, out_path)
+                if step == steps - 1:
+                    vote_lp = None
+                    for sc in vote_scales(len(ex)):
+                        lps = []
+                        for i in range(0, len(ex), cfg["batch"]):
+                            lps.append(np.asarray(logp_fn(
+                                params, stats,
+                                jnp.asarray(ex[i : i + cfg["batch"]]
+                                            * sc[i : i + cfg["batch"]]),
+                            )))
+                        lp = np.concatenate(lps)
+                        vote_lp = lp if vote_lp is None else vote_lp + lp
+                    vpred = np.argmax(vote_lp / NUM_VOTES, -1)
+                    rec = {
+                        "kind": "vote_eval", "step": step, "votes": NUM_VOTES,
+                        "acc": round(instance_accuracy(vpred, ey), 4),
+                        "cls_acc": round(
+                            class_average_accuracy(vpred, ey, cfg["num_classes"]), 4
+                        ),
+                    }
+                    f.write(json.dumps(rec) + "\n")
+                    f.flush()
+                    print(f"[jax cls] {rec}", flush=True)
 
 
-def run_partseg_jax(steps: int, out_path: str):
+def run_partseg_jax(steps: int, out_path: str, resume: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -488,8 +660,11 @@ def run_partseg_jax(steps: int, out_path: str):
 
     ep, ec, el = partseg_eval_set()
     eoh = np.eye(16, dtype=np.float32)[ec]
-    with open(out_path, "w") as f:
-        for step in range(steps):
+    params, stats, opt_state, start = _resume_jax(
+        params, stats, opt_state, out_path, resume
+    )
+    with open(out_path, "a" if start else "w") as f:
+        for step in range(start, steps):
             x, cats, seg = partseg_batch(step)
             oh = np.eye(16, dtype=np.float32)[cats]
             t0 = time.time()
@@ -532,25 +707,62 @@ def run_partseg_jax(steps: int, out_path: str):
                 f.write(json.dumps(rec) + "\n")
                 f.flush()
                 print(f"[jax partseg] {rec}", flush=True)
+                _save_jax_state(params, stats, opt_state, step + 1, out_path)
+                if step == steps - 1:
+                    vote_lp = None
+                    for sc in vote_scales(len(ep)):
+                        lps = []
+                        for i in range(0, len(ep), cfg["batch"]):
+                            _, out = eval_fn(
+                                params, stats,
+                                jnp.asarray(ep[i : i + cfg["batch"]]
+                                            * sc[i : i + cfg["batch"]]),
+                                jnp.asarray(eoh[i : i + cfg["batch"]]),
+                                jnp.asarray(el[i : i + cfg["batch"]]),
+                            )
+                            lps.append(np.asarray(out))
+                        lp = np.concatenate(lps)
+                        vote_lp = lp if vote_lp is None else vote_lp + lp
+                    vpred = category_masked_argmax(vote_lp / NUM_VOTES, ec, SEG_PARTS)
+                    vins, vcls, _ = part_iou_metrics(
+                        list(vpred), list(el), list(ec), SEG_PARTS
+                    )
+                    rec = {
+                        "kind": "vote_eval", "step": step, "votes": NUM_VOTES,
+                        "ins_miou": round(vins, 4), "cls_miou": round(vcls, 4),
+                        "point_acc": round(point_accuracy(list(vpred), list(el)), 4),
+                    }
+                    f.write(json.dumps(rec) + "\n")
+                    f.flush()
+                    print(f"[jax partseg] {rec}", flush=True)
 
 
 # --- compare -----------------------------------------------------------------
 def load_curve(path):
-    train, evals = [], []
+    train, evals, votes = [], [], []
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
-            (train if rec["kind"] == "train" else evals).append(rec)
-    return train, evals
+            {"train": train, "eval": evals, "vote_eval": votes}[rec["kind"]].append(rec)
+    return train, evals, votes
 
 
 def compare(task: str, out_dir: str):
-    ttrain, tevals = load_curve(os.path.join(out_dir, f"{task}_torch.jsonl"))
-    jtrain, jevals = load_curve(os.path.join(out_dir, f"{task}_jax.jsonl"))
+    ttrain, tevals, tvotes = load_curve(os.path.join(out_dir, f"{task}_torch.jsonl"))
+    jtrain, jevals, jvotes = load_curve(os.path.join(out_dir, f"{task}_jax.jsonl"))
     n = min(len(ttrain), len(jtrain))
     tl = np.array([r["loss"] for r in ttrain[:n]])
     jl = np.array([r["loss"] for r in jtrain[:n]])
     diff = np.abs(tl - jl)
+    # Eval-metric drift: the per-eval jax-minus-torch gap on the headline
+    # metric, plus the least-squares slope of the gap over the last 4 evals
+    # (in metric units per eval point) — the r2 curve showed a monotonically
+    # widening partseg gap and this quantifies whether it plateaus.
+    key = "ins_miou" if task == "partseg" else "acc"
+    ne = min(len(tevals), len(jevals))
+    gaps = [round(jevals[i][key] - tevals[i][key], 4) for i in range(ne)]
+    tail = np.array(gaps[-4:], dtype=np.float64)
+    slope = float(np.polyfit(np.arange(len(tail)), tail, 1)[0]) if len(tail) >= 2 else 0.0
     summary = {
         "task": task, "steps": n,
         "loss_diff_step0": float(diff[0]),
@@ -559,7 +771,11 @@ def compare(task: str, out_dir: str):
         "loss_diff_last50_mean": float(diff[-50:].mean()),
         "torch_loss_first": float(tl[0]), "torch_loss_last": float(tl[-1]),
         "jax_loss_first": float(jl[0]), "jax_loss_last": float(jl[-1]),
+        "eval_metric": key,
+        "eval_gap_jax_minus_torch": gaps,
+        "eval_gap_tail_slope": round(slope, 5),
         "torch_evals": tevals, "jax_evals": jevals,
+        "torch_vote_evals": tvotes, "jax_vote_evals": jvotes,
     }
     path = os.path.join(out_dir, f"{task}_summary.json")
     with open(path, "w") as f:
@@ -573,6 +789,12 @@ def main():
     ap.add_argument("--task", choices=("cls", "partseg"), required=True)
     ap.add_argument("--side", choices=("torch", "jax", "compare"), required=True)
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the saved *_state checkpoint (curves "
+                    "append to the existing jsonl)")
+    ap.add_argument("--eval_clouds", type=int, default=None,
+                    help="override the held-out eval-set size (smoke tests "
+                    "only — committed curves use the default)")
     ap.add_argument("--out", default=os.path.join(REPO, "golden"))
     ap.add_argument(
         "--platform", default=None,
@@ -585,6 +807,8 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.out, exist_ok=True)
+    if args.eval_clouds:
+        CONFIGS[args.task]["eval_clouds"] = args.eval_clouds
     steps = args.steps or CONFIGS[args.task]["steps"]
     if args.side == "compare":
         compare(args.task, args.out)
@@ -597,7 +821,7 @@ def main():
         ("partseg", "jax"): run_partseg_jax,
     }[(args.task, args.side)]
     t0 = time.time()
-    runner(steps, out_path)
+    runner(steps, out_path, resume=args.resume)
     print(f"done: {out_path} in {time.time()-t0:.0f}s", flush=True)
 
 
