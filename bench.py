@@ -52,7 +52,10 @@ _T0 = time.perf_counter()
 # (serve / secondary models / 16k scenes) are skipped with a note once the
 # budget is exhausted, so a cold-cache run on a slow host still prints its
 # JSON line instead of being killed by an outer timeout.
-_BUDGET_S = float(os.environ.get("MPA_BENCH_BUDGET_S", "2400"))
+try:
+    _BUDGET_S = float(os.environ.get("MPA_BENCH_BUDGET_S", "2400"))
+except ValueError:  # malformed env must not kill the always-run primaries
+    _BUDGET_S = 2400.0
 
 
 def _mark(label):
@@ -231,8 +234,9 @@ def bench_semseg_16k():
     # approximation quality is measured in docs/PERF.md).
     for mode in ("exact", "window", "window_all"):
         if _over_budget():
-            res[f"{mode}_ms_per_step"] = None
-            res["note"] = "bench wall-clock budget exhausted mid-block"
+            res[f"{mode}_ms_per_step"] = {
+                "skipped": "bench wall-clock budget exhausted mid-block"
+            }
             break
         model = get_model("markov_semseg", npoints=npoints, neighbor_mode=mode)
         _, _, dt, _ = _train_bench(
@@ -243,11 +247,78 @@ def bench_semseg_16k():
         )
         res[f"{mode}_ms_per_step"] = round(dt * 1e3, 1)
     for mode in ("window", "window_all"):
-        if res.get("exact_ms_per_step") and res.get(f"{mode}_ms_per_step"):
-            res[f"{mode}_speedup"] = round(
-                res["exact_ms_per_step"] / res[f"{mode}_ms_per_step"], 2
-            )
+        exact, banded = res.get("exact_ms_per_step"), res.get(f"{mode}_ms_per_step")
+        if isinstance(exact, float) and isinstance(banded, float):
+            res[f"{mode}_speedup"] = round(exact / banded, 2)
     return res
+
+
+def bench_partseg_pipeline():
+    """Epoch-style part-seg throughput INCLUDING the input pipeline — host
+    shuffled batching, host->device transfer (prefetch thread), on-device
+    keyed augmentation (scale+shift, the reference trainer's augments,
+    tool/train_partseg.py:192-193) and the full train step. This is the
+    apples-to-apples comparison point against the reference's 29.6 clouds/s,
+    which is epoch wall-clock including its DataLoader (BASELINE.md:18)."""
+    import numpy as np
+
+    from mpa_tpu.models import get_model
+    from mpa_tpu import train as tr
+    from mpa_tpu.data import augment as aug
+    from mpa_tpu.data import pipeline as pl
+    from mpa_tpu.parallel import make_mesh
+
+    B, N, n_clouds = 8, 2048, 640
+    r = np.random.default_rng(7)
+    clouds = r.normal(size=(n_clouds, N, 3)).astype(np.float32)
+    cats = r.integers(0, 16, size=(n_clouds,)).astype(np.int32)
+    segs = r.integers(0, 50, size=(n_clouds, N)).astype(np.int32)
+    onehot_tbl = np.eye(16, dtype=np.float32)
+
+    model = get_model("markov_partseg")
+    tx = tr.make_optimizer("sgd", 0.1, weight_decay=1e-4, momentum=0.9)
+    ex = (jnp.zeros((2, N, 3), jnp.float32), jnp.zeros((2, 16), jnp.float32))
+    state = tr.create_train_state(model, jax.random.key(8), ex, tx)
+    loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, 0.1)
+    base_step = tr.make_train_step(loss_fn)
+
+    @jax.jit
+    def step(state, pts, oh, seg, key):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, state.step))
+        pts = aug.random_shift(k2, aug.random_scale(k1, pts))
+        return base_step(state, (pts, oh), seg, key)
+
+    mesh = make_mesh(devices=jax.devices()[:1])
+    key = jax.random.key(9)
+
+    def epoch(seed):
+        it = pl.batch_iterator(
+            (clouds, cats, segs), B, rng=np.random.default_rng(seed)
+        )
+        n = 0
+        for pts, c, seg in pl.prefetch_to_device(
+            it, mesh, transform=lambda b: (b[0], onehot_tbl[b[1]], b[2])
+        ):
+            nonlocal_state[0], loss = step(nonlocal_state[0], pts, c, seg, key)
+            n += B
+        float(loss)  # host fence: epoch ends when the device is drained
+        return n
+
+    nonlocal_state = [state]
+    epoch(0)  # warmup: compile + cache population
+    rates = []
+    for e in range(1, 4):
+        t0 = time.perf_counter()
+        n = epoch(e)
+        rates.append(n / (time.perf_counter() - t0))
+    rates.sort()
+    return {
+        "clouds_per_sec_best": round(rates[-1], 1),
+        "clouds_per_sec_median": round(rates[len(rates) // 2], 1),
+        "vs_baseline_best": round(rates[-1] / 29.6, 2),
+        "note": "includes host batching+transfer and on-device augmentation; "
+                "in-RAM dataset (the reference holds ShapeNetPart in RAM too)",
+    }
 
 
 def bench_serve():
@@ -319,19 +390,28 @@ def main():
     _mark("cls done")
     ps_best, ps_med, ps_dt, ps_flops = bench_partseg()
     _mark("partseg done")
-    skipped = {"skipped": f"bench wall-clock budget ({_BUDGET_S:.0f}s) exhausted"}
-    try:
-        serve_block = skipped if _over_budget() else bench_serve()
-    except Exception as e:  # serving must never sink the primary metrics
-        serve_block = {"error": f"{type(e).__name__}: {e}"[:200]}
-    _mark("serve done")
-    secondary = skipped if _over_budget() else bench_secondary()
-    _mark("secondary done")
-    try:
-        semseg16k = skipped if _over_budget() else bench_semseg_16k()
-    except Exception as e:
-        semseg16k = {"error": f"{type(e).__name__}: {e}"[:200]}
-    _mark("semseg16k done")
+
+    def skipped():  # one dict per block: later mutation must not alias
+        return {"skipped": f"bench wall-clock budget ({_BUDGET_S:.0f}s) exhausted"}
+
+    def optional_block(label, fn):
+        """Budget-gate + exception-isolate a secondary block; the label notes
+        the real outcome so the stderr trace isn't misleading."""
+        if _over_budget():
+            _mark(f"{label} skipped (budget)")
+            return skipped()
+        try:
+            out = fn()
+            _mark(f"{label} done")
+            return out
+        except Exception as e:  # secondary blocks never sink the primaries
+            _mark(f"{label} errored ({type(e).__name__})")
+            return {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    pipeline_block = optional_block("pipeline", bench_partseg_pipeline)
+    serve_block = optional_block("serve", bench_serve)
+    secondary = optional_block("secondary", bench_secondary)
+    semseg16k = optional_block("semseg16k", bench_semseg_16k)
 
     def block(best, med, dt, flops, baseline):
         return {
@@ -352,11 +432,13 @@ def main():
                 "vs_baseline": round(ps_best / 29.6, 2),
                 "partseg": block(ps_best, ps_med, ps_dt, ps_flops, 29.6),
                 "cls": block(cls_best, cls_med, cls_dt, cls_flops, 21.5),
+                "partseg_input_pipeline": pipeline_block,
                 "serve_cls_exported": serve_block,
                 "secondary_models": secondary,
                 "semseg_16k": semseg16k,
                 "partseg_batch_note": "partseg B8 / cls B32 are the measured per-chip throughput-optimal batches (sweep in docs/PERF.md); the presets' global batches come from DP over chips",
                 "timing_note": "host-transfer fenced (block_until_ready is unreliable on this tunnel; r1 cls numbers were inflated by it)",
+                "baseline_note": "reference baselines are epoch wall-clock INCLUDING dataloading (cls, BASELINE.md:13) and eval (partseg, BASELINE.md:18); 'partseg'/'cls' above are pure on-device train-step throughput — partseg_input_pipeline carries the input-inclusive comparison",
             }
         )
     )
