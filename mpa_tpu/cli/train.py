@@ -178,6 +178,75 @@ def batches(arrays, batch_size: int, rng=None, drop_last=True):
         yield tuple(a[idx] for a in arrays)
 
 
+def dry_data_check(cfg) -> int:
+    """--dry_data_check: prove a data root is usable before committing to a
+    training run. Loads every split through the SAME loader the trainer uses,
+    validates shapes/dtypes/label ranges (partseg: every seg label must fall
+    inside its cloud's category part block, SEG_PARTS), and prints the epoch
+    plan as one JSON line. Never touches a device. Returns a process exit
+    code (0 = ok)."""
+    import json
+
+    report = {"task": cfg.task, "dataset": cfg.dataset, "data_root": cfg.data_root,
+              "ok": False}
+    try:
+        train_arrays, test_arrays = load_dataset(cfg)
+    except Exception as e:
+        report["error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(report))
+        return 1
+
+    problems = []
+    for split, arrays in (("train", train_arrays), ("test", test_arrays)):
+        info = {}
+        n = len(arrays[0])
+        info["clouds"] = n
+        info["shapes"] = [list(np.shape(a)) for a in arrays]
+        info["dtypes"] = [str(np.asarray(a).dtype) for a in arrays]
+        if cfg.task == "partseg":
+            pts, cats, segs = arrays
+            if cats.min() < 0 or cats.max() >= NUM_CATEGORIES:
+                problems.append(f"{split}: category ids outside [0,{NUM_CATEGORIES})")
+            if segs.min() < 0 or segs.max() >= NUM_PARTS:
+                problems.append(f"{split}: part labels outside [0,{NUM_PARTS})")
+            else:
+                bad = 0
+                for c in range(NUM_CATEGORIES):
+                    m = cats == c
+                    if not m.any():
+                        continue
+                    allowed = np.asarray(SEG_PARTS[c])
+                    bad += int((~np.isin(segs[m], allowed)).sum())
+                if bad:
+                    problems.append(
+                        f"{split}: {bad} point labels outside their cloud's "
+                        "category part block (SEG_PARTS)"
+                    )
+        elif cfg.task in ("cls", "semseg"):
+            labels = arrays[1]
+            if labels.min() < 0 or labels.max() >= cfg.num_classes:
+                problems.append(
+                    f"{split}: labels outside [0,{cfg.num_classes}) "
+                    f"(saw {labels.min()}..{labels.max()})"
+                )
+        if not np.isfinite(np.asarray(arrays[0], np.float32)).all():
+            problems.append(f"{split}: non-finite point coordinates")
+        report[split] = info
+
+    n_train = len(train_arrays[0])
+    spe = max(1, n_train // cfg.batch_size)
+    report["epoch_plan"] = {
+        "batch_size": cfg.batch_size, "steps_per_epoch": spe,
+        "epochs": cfg.epochs, "total_steps": spe * cfg.epochs,
+        "drop_last_clouds": n_train - spe * cfg.batch_size
+        if n_train >= cfg.batch_size else 0,
+    }
+    report["problems"] = problems
+    report["ok"] = not problems
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     add_config_flags(parser, TrainConfig())
@@ -195,6 +264,11 @@ def main(argv=None):
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu); this image pins "
                              "JAX_PLATFORMS=axon so the env route is dead")
+    parser.add_argument("--dry_data_check", action="store_true",
+                        help="validate --data_root (load every split through "
+                             "the real loaders, check shapes/dtypes/label "
+                             "ranges), print the epoch plan as JSON, and exit "
+                             "without touching any device")
     args = parser.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -218,6 +292,9 @@ def main(argv=None):
             cfg = cfg.with_overrides(
                 num_classes=13 if cfg.dataset == "s3dis" else 3
             )
+
+    if args.dry_data_check:
+        return dry_data_check(cfg)
 
     log = make_logger(os.path.join(cfg.log_dir, f"{cfg.task}_{cfg.dataset}"))
     log.info(f"config: {cfg}")
@@ -497,4 +574,7 @@ def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epo
 
 
 if __name__ == "__main__":
-    main()
+    # main() returns the final eval metric for training runs (tests use it)
+    # and an int exit code for --dry_data_check.
+    _ret = main()
+    sys.exit(_ret if isinstance(_ret, int) else 0)

@@ -7,6 +7,22 @@ np.loadtxt of xyz(+normal)+segidx, pc_normalize, then FPS down to npoints
 padding happens in host preprocessing / on device, never in a worker), and the
 ``seg_classes`` category->parts table plus ``to_categorical`` one-hot from
 tool/train_partseg.py:21-41.
+
+Expected data-root layout (shapenetcore_partanno_segmentation_benchmark_v0_normal):
+
+    {root}/synsetoffset2category.txt                  (16 lines: name \t synset)
+    {root}/train_test_split/shuffled_{train,val,test}_file_list.json
+    {root}/<synset>/<uuid>.txt                        (rows: x y z nx ny nz seg)
+
+Published split sizes (reference training log,
+log/part_seg/res/logs/pointnet2_part_seg_msg.txt): trainval 13998 clouds,
+test 2874, 16 categories / 50 global part labels; clouds are ragged
+(~500-3000 points) and are resampled to ``npoints`` host-side here (the
+reference ran GPU FPS inside DataLoader workers instead). Validate a root
+without touching a device:
+
+    python -m mpa_tpu.cli.train --task partseg --dataset shapenetpart \
+        --data_root {root} --dry_data_check
 """
 
 from __future__ import annotations

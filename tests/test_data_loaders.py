@@ -233,3 +233,68 @@ class TestAugmentations:
             jax.random.key(0), pts, aug_scale=True, scale_factor=0.5
         )
         assert not np.array_equal(np.asarray(scaled), np.asarray(pts))
+
+
+class TestDryDataCheck:
+    """--dry_data_check: the data-root rehearsal mode (VERDICT r2 item 6).
+    Runs the real CLI entry against the format-exact on-disk fixtures above —
+    the same validation a user runs the day real data lands."""
+
+    def _run(self, argv, capsys):
+        from mpa_tpu.cli import train as cli
+
+        rc = cli.main(argv + ["--dry_data_check"])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    def test_scanobjectnn_ok(self, scanobjectnn_root, capsys):
+        rc, rep = self._run(
+            ["--task", "cls", "--dataset", "scanobjectnn",
+             "--data_root", scanobjectnn_root, "--batch_size", "4"],
+            capsys,
+        )
+        assert rc == 0 and rep["ok"], rep
+        assert rep["train"]["clouds"] == 12 and rep["test"]["clouds"] == 6
+        assert rep["train"]["shapes"][0] == [12, 2048, 3]
+        assert rep["epoch_plan"]["steps_per_epoch"] == 3
+
+    def test_shapenetpart_ok(self, shapenet_root, capsys):
+        rc, rep = self._run(
+            ["--task", "partseg", "--dataset", "shapenetpart",
+             "--data_root", shapenet_root, "--batch_size", "2",
+             "--num_points", "128"],
+            capsys,
+        )
+        assert rc == 0 and rep["ok"], rep
+        assert rep["epoch_plan"]["total_steps"] > 0
+
+    def test_missing_root_fails_with_error(self, tmp_path, capsys):
+        rc, rep = self._run(
+            ["--task", "cls", "--dataset", "scanobjectnn",
+             "--data_root", str(tmp_path / "nope")],
+            capsys,
+        )
+        assert rc == 1 and not rep["ok"] and "error" in rep
+
+    def test_bad_labels_flagged(self, tmp_path, capsys):
+        # A category whose seg labels violate SEG_PARTS must be reported.
+        root = tmp_path / "shapenet_bad"
+        syn = "02691156"  # Airplane: parts 0-3
+        (root / syn).mkdir(parents=True)
+        (root / "train_test_split").mkdir()
+        with open(root / "synsetoffset2category.txt", "w") as f:
+            f.write(f"Airplane\t{syn}\n")
+        r = np.random.default_rng(3)
+        arr = np.column_stack([r.normal(size=(64, 6)), np.full(64, 30.0)])  # part 30: Motorbike's
+        np.savetxt(root / syn / "u0.txt", arr, fmt="%.6f")
+        for split in ("train", "val", "test"):
+            with open(root / "train_test_split" / f"shuffled_{split}_file_list.json", "w") as f:
+                json.dump([f"shape_data/{syn}/u0"], f)
+        rc, rep = self._run(
+            ["--task", "partseg", "--dataset", "shapenetpart",
+             "--data_root", str(root), "--batch_size", "1",
+             "--num_points", "32"],
+            capsys,
+        )
+        assert rc == 1 and not rep["ok"]
+        assert any("part block" in p for p in rep["problems"]), rep["problems"]
