@@ -567,11 +567,21 @@ def _bwd_scatter_xla(G, shifts, gctx, idx, n_points: int, n_branches: int, c: in
             dshifts.append(jnp.sum(dV, axis=2))
     dG = jnp.concatenate(douts, axis=-1).reshape(B, S * K, W)
     flat_idx = idx.astype(jnp.int32).reshape(B, S * K)
-    dpacked = (
-        jnp.zeros((B, n_points, W), jnp.float32)
-        .at[jnp.arange(B)[:, None], flat_idx]
-        .add(dG, mode="drop", indices_are_sorted=False, unique_indices=False)
+    from mpa_tpu.ops.pallas.gather_pallas import (
+        rmw_scatter_eligible, scatter_add_rmw,
     )
+
+    if rmw_scatter_eligible(n_points, W, S * K):
+        # VMEM RMW accumulator: 7.5 vs 32 ns/row over XLA's native scatter at
+        # N=4096 (scripts/scatter_microbench.py); exact f32 adds, drop
+        # semantics for the padded sentinel targets.
+        dpacked = scatter_add_rmw(dG, flat_idx, n_points)
+    else:
+        dpacked = (
+            jnp.zeros((B, n_points, W), jnp.float32)
+            .at[jnp.arange(B)[:, None], flat_idx]
+            .add(dG, mode="drop", indices_are_sorted=False, unique_indices=False)
+        )
     dshift = (
         jnp.concatenate(dshifts, axis=-1).astype(shifts.dtype)
         if shifts is not None
@@ -581,18 +591,24 @@ def _bwd_scatter_xla(G, shifts, gctx, idx, n_points: int, n_branches: int, c: in
 
 
 def _gather(packed, idx):
+    from mpa_tpu.ops.pallas.gather_pallas import fast_gather_rows
+
     B, S, K = idx.shape
     flat = idx.reshape(B, S * K)
-    out = jnp.take_along_axis(
-        packed, flat[..., None], axis=1, mode="promise_in_bounds"
-    )
+    out = fast_gather_rows(packed, flat)
     return out.reshape(B, S, K, packed.shape[-1])
 
 
 def _xla_reference(packed, idx, shifts, n_branches: int, c: int):
     """Identical math in plain jnp (CPU path + CI oracle). Like the kernel,
-    internal math runs in f32 (bf16 storage dtypes upcast per-branch)."""
-    G = _gather(packed, idx).astype(jnp.float32)
+    internal math runs in f32 (bf16 storage dtypes upcast per-branch).
+    Pure-XLA gather on purpose: keeps this path differentiable everywhere
+    and independent of the Pallas kernels it serves as the oracle for."""
+    B, S, K = idx.shape
+    flat = idx.reshape(B, S * K)
+    G = jnp.take_along_axis(
+        packed, flat[..., None], axis=1, mode="promise_in_bounds"
+    ).reshape(B, S, K, packed.shape[-1]).astype(jnp.float32)
     if shifts is not None:
         shifts = shifts.astype(jnp.float32)
     outs = []

@@ -1,13 +1,23 @@
-"""Neighbour gather with a Pallas scatter-add BACKWARD.
+"""Neighbour gather: Pallas loop-gather FORWARD + Pallas scatter-add BACKWARD.
 
-The forward ``take_along_axis`` gather is fast on TPU, but its VJP is an XLA
-scatter-add — profiled at ~3.5 ms per scale-0 attention gather in the
-part-seg backward (4+ of them per step). This module keeps the XLA gather
-forward and replaces only the backward with the one-hot-matmul trick: tile
-the output (source) points, build the [S_chunk, N_tile] claim mask with a
-vector comparison, and accumulate ``mask^T @ grads`` on the MXU across
-S-chunks (grid revisits each output tile; Pallas iterates the minor grid dim
-innermost so accumulation is sequential).
+Forward (r3): XLA's row gather is descriptor-rate-bound at a measured
+~6-17 ns/row regardless of width. When the source slab fits VMEM, a Pallas
+kernel that keeps the whole ``[N, W]`` slab resident and walks edges with
+dynamic sublane slices (16 rows per loop iteration) sustains ~3.4 ns/row at
+the model's shapes — bit-exact, ~2-3x the XLA rate at every (N, W) measured
+(scripts/gather_microbench.py). ``loop_gather_rows`` is that kernel;
+``_gather_impl`` dispatches to it whenever the slab fits.
+
+Backward: an XLA scatter-add was profiled at ~3.5 ms per scale-0 attention
+gather in the part-seg backward (4+ of them per step). Two Pallas paths by
+destination size (measured crossover, scripts/scatter_microbench.py):
+- N <= RMW_SCATTER_MIN_N: one-hot-matmul — tile the source points, build the
+  [S_chunk, N_tile] claim mask with a vector comparison, accumulate
+  ``mask^T @ grads`` on the MXU across S-chunks (grid revisits each output
+  tile; the minor grid dim iterates innermost so accumulation is sequential).
+- N >= RMW_SCATTER_MIN_N (one-hot FLOPs grow with N): read-modify-write loop
+  into a VMEM-resident [N, W] accumulator — 7.5 vs 16 (one-hot) / 32 (XLA)
+  ns/row at N=4096, exact f32 adds.
 """
 
 from __future__ import annotations
@@ -22,6 +32,158 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Loop gather: arbitrary row gather with the source slab resident in VMEM.
+# ---------------------------------------------------------------------------
+
+# Slab budget: [N, W] f32 source + [T, W] out block + double-buffering must
+# fit scoped VMEM alongside the consumer's blocks.
+LOOP_GATHER_MAX_SLAB_BYTES = 6 * 1024 * 1024
+_LG_ROWS_PER_ITER = 16
+
+
+def _loop_gather_kernel(idx_ref, src_ref, out_ref, *, T: int, rpi: int):
+    base0 = pl.program_id(0) * T
+
+    def body(i, _):
+        base = i * rpi
+        for r in range(rpi):
+            out_ref[pl.ds(base + r, 1), :] = src_ref[
+                pl.ds(idx_ref[base0 + base + r], 1), :
+            ]
+        return 0
+
+    jax.lax.fori_loop(0, T // rpi, body, 0)
+
+
+def loop_gather_eligible(points, n_rows: int) -> bool:
+    """True when the loop-gather kernel beats the XLA row gather: TPU backend,
+    4-byte dtype (dynamic sublane slices on packed 2-byte slabs are not worth
+    it), slab resident in VMEM, enough rows to amortize the kernel launch."""
+    B, N, W = points.shape
+    return (
+        jax.default_backend() == "tpu"
+        and points.dtype.itemsize == 4
+        and N * W * 4 <= LOOP_GATHER_MAX_SLAB_BYTES
+        and n_rows >= 512
+    )
+
+
+def loop_gather_rows(points, flat_idx):
+    """Exact row gather ``[B, N, W] x [B, E] -> [B, E, W]``; the source slab
+    rides in VMEM and a fori_loop of dynamic sublane slices walks the edges
+    (~3.4 ns/row vs XLA's ~6-17, scripts/gather_microbench.py). Indices must
+    be in-bounds (promise_in_bounds semantics, like the XLA path)."""
+    B, N, W = points.shape
+    E = flat_idx.shape[1]
+    rpi = _LG_ROWS_PER_ITER
+    T = min(2048, _round_up(E, rpi))
+    Ep = _round_up(E, T)
+    ix = flat_idx.astype(jnp.int32)
+    if Ep != E:
+        ix = jnp.pad(ix, ((0, 0), (0, Ep - E)))
+
+    def one(src_b, idx_b):
+        return pl.pallas_call(
+            functools.partial(_loop_gather_kernel, T=T, rpi=rpi),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Ep // T,),
+                in_specs=[pl.BlockSpec((N, W), lambda i, idx_ref: (0, 0))],
+                out_specs=pl.BlockSpec((T, W), lambda i, idx_ref: (i, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((Ep, W), src_b.dtype),
+        )(idx_b, src_b)
+
+    out = jax.vmap(one)(points, ix)
+    return out[:, :E] if Ep != E else out
+
+
+def fast_gather_rows(points, flat_idx):
+    """Dispatch: loop-gather when eligible, XLA row gather otherwise.
+    ``points [B, N, W]``, ``flat_idx [B, E]`` -> ``[B, E, W]``."""
+    if loop_gather_eligible(points, flat_idx.shape[1]):
+        return loop_gather_rows(points, flat_idx)
+    return jnp.take_along_axis(
+        points, flat_idx[..., None], axis=1, mode="promise_in_bounds"
+    )
+
+
+# ---------------------------------------------------------------------------
+# RMW scatter-add: VMEM-resident [N, W] accumulator, exact f32 adds.
+# ---------------------------------------------------------------------------
+
+# Below this destination size the one-hot MXU scatter is faster (its FLOPs
+# scale with N); at/above it the RMW loop wins (measured crossover between
+# N=2048 and 4096, scripts/scatter_microbench.py).
+RMW_SCATTER_MIN_N = 4096
+RMW_SCATTER_MAX_SLAB_BYTES = 8 * 1024 * 1024
+_RMW_ROWS_PER_ITER = 8
+
+
+def _rmw_scatter_kernel(idx_ref, g_ref, out_ref, *, T: int, rpi: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    base0 = pl.program_id(0) * T
+
+    def body(i, _):
+        base = i * rpi
+        for r in range(rpi):
+            t = idx_ref[base0 + base + r]
+            out_ref[pl.ds(t, 1), :] += g_ref[pl.ds(base + r, 1), :]
+        return 0
+
+    jax.lax.fori_loop(0, T // rpi, body, 0)
+
+
+def rmw_scatter_eligible(num_points: int, width: int, n_rows: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and num_points >= RMW_SCATTER_MIN_N
+        and num_points * width * 4 <= RMW_SCATTER_MAX_SLAB_BYTES
+        and n_rows >= 512
+    )
+
+
+def scatter_add_rmw(grads, idx, num_points: int):
+    """sum-scatter ``out[b, idx[b, e]] += grads[b, e]`` via a sequential
+    read-modify-write loop over a VMEM-resident ``[num_points, W]`` f32
+    accumulator. Exact (no mask-matmul rounding); wins over the one-hot
+    scatter once its E*N*W FLOPs dominate (N >= RMW_SCATTER_MIN_N).
+    grads ``[B, E, W]``, idx ``[B, E]`` -> ``[B, num_points, W]``.
+    Out-of-range targets (padding sentinels) are DROPPED via a clamp+mask:
+    the row is redirected to slot 0 with a zeroed contribution."""
+    B, E, W = grads.shape
+    rpi = _RMW_ROWS_PER_ITER
+    T = min(2048, _round_up(E, rpi))
+    Ep = _round_up(E, T)
+    g = grads.astype(jnp.float32)
+    ix = idx.astype(jnp.int32)
+    if Ep != E:
+        g = jnp.pad(g, ((0, 0), (0, Ep - E), (0, 0)))
+        ix = jnp.pad(ix, ((0, 0), (0, Ep - E)), constant_values=num_points)
+    # drop semantics for sentinel/padded targets, branch-free
+    oob = (ix < 0) | (ix >= num_points)
+    g = jnp.where(oob[..., None], 0.0, g)
+    ix = jnp.where(oob, 0, ix)
+
+    def one(g_b, idx_b):
+        return pl.pallas_call(
+            functools.partial(_rmw_scatter_kernel, T=T, rpi=rpi),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Ep // T,),
+                in_specs=[pl.BlockSpec((T, W), lambda i, idx_ref: (i, 0))],
+                out_specs=pl.BlockSpec((num_points, W), lambda i, idx_ref: (0, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((num_points, W), jnp.float32),
+        )(idx_b, g_b)
+
+    return jax.vmap(one)(g, ix)
 
 
 def _scatter_add_kernel(g_ref, idx_ref, out_ref, *, precision: str = "hilo"):
@@ -101,9 +263,7 @@ def _gather_impl(points, idx, n_points: int):
     B = points.shape[0]
     C = points.shape[-1]
     flat = idx.reshape(B, -1)
-    out = jnp.take_along_axis(
-        points, flat[..., None], axis=1, mode="promise_in_bounds"
-    )
+    out = fast_gather_rows(points, flat)
     return out.reshape((B,) + idx.shape[1:] + (C,))
 
 
@@ -121,7 +281,9 @@ def _bwd(n_points: int, res, g):
     C = g.shape[-1]
     flat_idx = idx.reshape(B, -1)
     flat_g = g.reshape(B, -1, C)
-    if jax.default_backend() == "tpu" and flat_idx.shape[1] * n_points >= 1_000_000:
+    if rmw_scatter_eligible(n_points, C, flat_idx.shape[1]):
+        dp = scatter_add_rmw(flat_g, flat_idx, n_points)
+    elif jax.default_backend() == "tpu" and flat_idx.shape[1] * n_points >= 1_000_000:
         dp = scatter_add_pallas(flat_g, flat_idx, n_points)
     else:
         batch_offset = jnp.arange(B, dtype=jnp.int32)[:, None] * n_points

@@ -33,7 +33,7 @@ def main():
         step = jax.jit(tr.make_train_step(tr.smooth_cls_loss), donate_argnums=(0,))
         args = (pts, labels, jax.random.key(3))
     else:
-        B, N = 16, 2048
+        B, N = int(os.environ.get("MPA_PROFILE_B", "16")), 2048
         model = get_model(name)
         pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
         onehot = jax.nn.one_hot(jax.random.randint(jax.random.key(1), (B,), 0, 16), 16)

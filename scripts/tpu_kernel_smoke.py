@@ -31,9 +31,22 @@ def main():
 
     got = np.asarray(knn_indices_pallas(8, base, query))
     _, want = ops.knn(8, base, query, method="sort")
-    ok = np.array_equal(got, np.asarray(want))
+    want = np.asarray(want)
+    # hilo3 MXU distances flip near-ties at ~1e-4 rate (documented,
+    # docs/PERF.md): accept an index mismatch iff the picked neighbour's
+    # exact distance is within rel 1e-3 of the oracle's pick.
+    bnp, qnp = np.asarray(base), np.asarray(query)
+    def _d2(idx, b, q):
+        return np.sum((qnp[b, q] - bnp[b, idx]) ** 2)
+    bad = 0
+    for b, q, k in np.argwhere(got != want):
+        dg, dw = _d2(got[b, q, k], b, q), _d2(want[b, q, k], b, q)
+        bad += abs(dg - dw) > 1e-3 * max(dw, 1e-9)
+    ok = bad == 0
     failures += not ok
-    print(f"knn_indices_pallas: {'OK' if ok else 'MISMATCH'}")
+    flips = int(np.sum(got != want))
+    print(f"knn_indices_pallas: {'OK' if ok else 'MISMATCH'}"
+          f" ({flips} near-tie flips, {bad} real)")
 
     got = np.asarray(farthest_point_sample_pallas(base, 250))
     want = np.asarray(ops.farthest_point_sample(base, 250, use_pallas=False))
@@ -77,16 +90,26 @@ def main():
     failures += not ok
     print(f"transition_attention fwd: {'OK' if ok else 'MISMATCH'} (max err {err:.2e})")
     gw = jnp.asarray(r.normal(size=got.shape).astype(np.float32))
-    gp = jax.grad(
-        lambda p: jnp.sum(transition_attention(p, aidx, None, 2, 64, use_pallas=True) * gw)
-    )(packed)
-    wp = jax.grad(
-        lambda p: jnp.sum(transition_attention(p, aidx, None, 2, 64, use_pallas=False) * gw)
-    )(packed)
+    # Parity smoke runs the EXACT grad-scatter mode (like golden_equivalence):
+    # the production bf16 default carries a documented ~2e-2 rounding band at
+    # these shapes (docs/PERF.md) that would mask real kernel bugs here.
+    from mpa_tpu.ops.pallas import attention_pallas as _AP
+
+    _saved_prec = _AP.GRAD_SCATTER_PRECISION
+    _AP.GRAD_SCATTER_PRECISION = "hilo"
+    try:
+        gp = jax.grad(
+            lambda p: jnp.sum(transition_attention(p, aidx, None, 2, 64, use_pallas=True) * gw)
+        )(packed)
+        wp = jax.grad(
+            lambda p: jnp.sum(transition_attention(p, aidx, None, 2, 64, use_pallas=False) * gw)
+        )(packed)
+    finally:
+        _AP.GRAD_SCATTER_PRECISION = _saved_prec
     err = np.max(np.abs(np.asarray(gp) - np.asarray(wp)))
     ok = err < 1e-3
     failures += not ok
-    print(f"transition_attention bwd: {'OK' if ok else 'MISMATCH'} (max err {err:.2e})")
+    print(f"transition_attention bwd (exact scatter): {'OK' if ok else 'MISMATCH'} (max err {err:.2e})")
 
     w = jnp.asarray(r.normal(size=(4, 500, 8, 64)).astype(np.float32))
     gf = jax.grad(lambda p: jnp.sum(gather_neighbors(p, idx) * w))(
@@ -95,6 +118,33 @@ def main():
     ok = bool(jnp.all(jnp.isfinite(gf)))
     failures += not ok
     print(f"gather_neighbors VJP: {'OK' if ok else 'NON-FINITE'}")
+
+    # r3 loop-gather forward (VMEM slab + dynamic sublane slices) — bit-exact
+    from mpa_tpu.ops.pallas.gather_pallas import loop_gather_rows, scatter_add_rmw
+
+    slab = jnp.asarray(r.normal(size=(4, 1024, 128)).astype(np.float32))
+    lidx = jnp.asarray(r.integers(0, 1024, size=(4, 4096)).astype(np.int32))
+    got = np.asarray(jax.jit(loop_gather_rows)(slab, lidx))
+    want = np.asarray(jnp.take_along_axis(slab, lidx[..., None], axis=1))
+    ok = np.array_equal(got, want)
+    failures += not ok
+    print(f"loop_gather_rows: {'OK' if ok else 'MISMATCH'}")
+
+    # r3 RMW scatter-add (VMEM accumulator) vs segment-sum, incl. drop targets
+    sg = jnp.asarray(r.normal(size=(4, 4096, 64)).astype(np.float32))
+    tidx = np.asarray(r.integers(0, 4096, size=(4, 4096)).astype(np.int32))
+    tidx[:, ::9] = 4096  # sentinel: must drop
+    got = np.asarray(jax.jit(lambda g, i: scatter_add_rmw(g, i, 4096))(sg, jnp.asarray(tidx)))
+    off = np.arange(4, dtype=np.int32)[:, None] * 4096
+    keep = tidx < 4096
+    seg = np.where(keep, tidx + off, 4 * 4096).reshape(-1)
+    want = np.asarray(
+        jax.ops.segment_sum(sg.reshape(-1, 64), jnp.asarray(seg), num_segments=4 * 4096 + 1)
+    )[:-1].reshape(4, 4096, 64)
+    err = np.max(np.abs(got - want))
+    ok = err < 1e-3
+    failures += not ok
+    print(f"scatter_add_rmw: {'OK' if ok else 'MISMATCH'} (max err {err:.2e})")
 
     print("PASS" if failures == 0 else f"FAIL ({failures})")
     sys.exit(1 if failures else 0)

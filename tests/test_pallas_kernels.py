@@ -202,6 +202,97 @@ class TestGatherScatterAdd:
         )
 
 
+class TestLoopGather:
+    """r3 forward kernel: VMEM-resident slab + dynamic sublane slices
+    (gather_pallas.loop_gather_rows). Bit-exact vs the XLA row gather."""
+
+    @pytest.mark.parametrize(
+        "B,N,W,E",
+        [
+            (2, 512, 128, 2048),   # production attention-shape slab
+            (1, 100, 12, 530),     # ragged everything (padding path)
+            (3, 2048, 8, 4096),    # narrow width, big N
+        ],
+    )
+    def test_matches_xla_gather(self, B, N, W, E):
+        from mpa_tpu.ops.pallas.gather_pallas import loop_gather_rows
+
+        r = rng(11)
+        pts = jnp.asarray(r.normal(size=(B, N, W)).astype(np.float32))
+        idx = jnp.asarray(r.integers(0, N, size=(B, E)).astype(np.int32))
+        got = np.asarray(loop_gather_rows(pts, idx))
+        want = np.asarray(jnp.take_along_axis(pts, idx[..., None], axis=1))
+        np.testing.assert_array_equal(got, want)
+
+    def test_dispatch_falls_back_off_tpu(self):
+        """On this CPU suite, fast_gather_rows must route to XLA (eligibility
+        gate) and still be exact."""
+        from mpa_tpu.ops.pallas.gather_pallas import (
+            fast_gather_rows,
+            loop_gather_eligible,
+        )
+
+        r = rng(12)
+        pts = jnp.asarray(r.normal(size=(2, 64, 16)).astype(np.float32))
+        idx = jnp.asarray(r.integers(0, 64, size=(2, 600)).astype(np.int32))
+        assert not loop_gather_eligible(pts, 600)
+        got = np.asarray(fast_gather_rows(pts, idx))
+        want = np.asarray(jnp.take_along_axis(pts, idx[..., None], axis=1))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestRmwScatter:
+    """r3 backward kernel: sequential read-modify-write into a VMEM
+    accumulator (gather_pallas.scatter_add_rmw). Exact f32 adds."""
+
+    @pytest.mark.parametrize(
+        "B,E,W,N",
+        [
+            (2, 2048, 64, 4096),   # production crossover shape
+            (1, 530, 8, 4100),     # ragged E (padding rows must drop)
+        ],
+    )
+    def test_matches_segment_sum(self, B, E, W, N):
+        from mpa_tpu.ops.pallas.gather_pallas import scatter_add_rmw
+
+        r = rng(13)
+        g = jnp.asarray(r.normal(size=(B, E, W)).astype(np.float32))
+        idx = jnp.asarray(r.integers(0, N, size=(B, E)).astype(np.int32))
+        got = np.asarray(scatter_add_rmw(g, idx, N))
+        off = jnp.arange(B, dtype=jnp.int32)[:, None] * N
+        seg = (idx + off).reshape(-1)
+        want = np.asarray(
+            jax.ops.segment_sum(
+                g.reshape(-1, W), seg, num_segments=B * N
+            ).reshape(B, N, W)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_out_of_range_targets_drop(self):
+        """Sentinel targets (< 0 or >= N) contribute nothing — the XLA path's
+        mode='drop' semantics."""
+        from mpa_tpu.ops.pallas.gather_pallas import scatter_add_rmw
+
+        r = rng(14)
+        B, E, W, N = 1, 512, 16, 4096
+        g = jnp.asarray(r.normal(size=(B, E, W)).astype(np.float32))
+        idx = np.asarray(r.integers(0, N, size=(B, E)).astype(np.int32))
+        idx[0, ::5] = N          # sentinel beyond range
+        idx[0, 1::7] = -1        # negative sentinel
+        got = np.asarray(scatter_add_rmw(g, jnp.asarray(idx), N))
+        keep = (idx[0] >= 0) & (idx[0] < N)
+        want = np.asarray(
+            jax.ops.segment_sum(
+                jnp.asarray(np.asarray(g[0])[keep]),
+                jnp.asarray(idx[0][keep]),
+                num_segments=N,
+            )
+        )
+        np.testing.assert_allclose(got[0], want, atol=1e-5)
+        # slot 0 (the clamp target) must carry ONLY real slot-0 mass
+        np.testing.assert_allclose(got[0, 0], want[0], atol=1e-5)
+
+
 class TestTransitionAttentionKernel:
     @pytest.fixture(autouse=True, params=["small", "large"])
     def _both_paths(self, request, monkeypatch):
