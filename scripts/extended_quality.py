@@ -41,29 +41,35 @@ BARS = {
 }
 
 RUNS = {
-    # CLI args per head; synthetic-task convergence configs.
+    # CLI args per head; synthetic-task convergence configs. semseg: 30
+    # constant-lr epochs measured 0.85-0.96 mIoU across modes (r3) — noisy,
+    # undertrained; 60 cosine-annealed epochs converge every mode past the bar.
     "semseg": ["--task", "semseg", "--dataset", "synthetic", "--num_points",
-               "512", "--batch_size", "8", "--epochs", "30",
-               "--learning_rate", "0.05"],
+               "512", "--batch_size", "8", "--epochs", "60",
+               "--learning_rate", "0.05", "--scheduler", "cos",
+               "--eta_min", "1e-3"],
     "semseg_window": ["--task", "semseg", "--dataset", "synthetic",
                       "--num_points", "512", "--batch_size", "8", "--epochs",
-                      "30", "--learning_rate", "0.05",
-                      "--neighbor_mode", "window"],
+                      "60", "--learning_rate", "0.05", "--scheduler", "cos",
+                      "--eta_min", "1e-3", "--neighbor_mode", "window"],
     # pose/completion: enlarged synthetic train sets (512 clouds memorize
     # before generalizing — measured r2) + longer cosine schedules; sized for
     # the chip, where each run is minutes.
     "semseg_window_all": ["--task", "semseg", "--dataset", "synthetic",
                           "--num_points", "512", "--batch_size", "8",
-                          "--epochs", "30", "--learning_rate", "0.05",
+                          "--epochs", "60", "--learning_rate", "0.05",
+                          "--scheduler", "cos", "--eta_min", "1e-3",
                           "--neighbor_mode", "window_all"],
     "pose": ["--task", "pose", "--dataset", "synthetic", "--num_points",
              "256", "--batch_size", "32", "--epochs", "100",
              "--synthetic_train_clouds", "4096",
              "--optimizer", "adam-l2", "--learning_rate", "1e-3",
              "--scheduler", "cos", "--eta_min", "1e-5"],
+    # completion at 60ep/2048 clouds measured chamfer 0.0243 vs the 0.02 bar
+    # (r3) — the pose-sized schedule converges it below the bar.
     "completion": ["--task", "completion", "--dataset", "synthetic",
                    "--num_points", "256", "--batch_size", "32", "--epochs",
-                   "60", "--synthetic_train_clouds", "2048",
+                   "100", "--synthetic_train_clouds", "4096",
                    "--optimizer", "adam-l2", "--learning_rate", "1e-3",
                    "--scheduler", "cos", "--eta_min", "1e-5"],
 }
