@@ -2,6 +2,7 @@
 The reference ships no code for these tasks (SURVEY.md §0) — these validate
 the framework's own designs end to end: shapes, loss descent, protocols."""
 
+import pytest
 import os
 import sys
 
@@ -48,6 +49,7 @@ def tiny_semseg(num_classes=4):
 
 
 class TestSemSeg:
+    @pytest.mark.slow
     def test_forward_and_training(self):
         model = tiny_semseg()
         r = rng(1)

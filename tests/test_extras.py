@@ -1,6 +1,7 @@
 """Tests for the optional extras (orphan re-designs), dead-code ops, and the
 FP-decoder part-seg variant."""
 
+import pytest
 import os
 import sys
 
@@ -102,6 +103,7 @@ class TestExtras:
 
 
 class TestPartSegFPVariant:
+    @pytest.mark.slow
     def test_forward_and_training(self):
         model = MarkovPartSegFP(
             num_parts=8,

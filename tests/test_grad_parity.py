@@ -9,6 +9,7 @@ every parameter leaf. The torch gradient trees are frozen into
 tests/fixtures/{cls,partseg}_grads.npz (builders in tests/torch_side/;
 regenerate with MPA_REGEN_ORACLES=1)."""
 
+import pytest
 import os
 import sys
 
@@ -62,6 +63,7 @@ def _once(fn):
     return wrapper
 
 
+@pytest.mark.slow
 class TestClsGradParity:
     @_once
     def _run(self):
@@ -98,6 +100,7 @@ class TestClsGradParity:
         np.testing.assert_allclose(gx, want_x, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 class TestPartSegGradParity:
     @_once
     def _run(self):

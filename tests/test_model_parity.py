@@ -5,6 +5,7 @@ every weight transplanted, eval mode, deterministic FPS on both sides.
 Torch side frozen into tests/fixtures/cls_model_forward.npz (builder in
 tests/torch_side/cls_model.py; regenerate with MPA_REGEN_ORACLES=1)."""
 
+import pytest
 import os
 import sys
 
@@ -49,6 +50,7 @@ class TestFullClsModelParity:
         )
         np.testing.assert_allclose(got, f["want_logits"], atol=5e-4)
 
+    @pytest.mark.slow
     def test_prediction_agreement(self):
         f = forward_fixture()
         got = np.asarray(

@@ -51,6 +51,7 @@ def _single_process_reference():
     return float(loss), checksum
 
 
+@pytest.mark.slow
 def test_two_process_dp_matches_single_process():
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}

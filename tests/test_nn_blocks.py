@@ -5,6 +5,7 @@ the normalization path is genuinely exercised), plus shape/finiteness checks.
 The torch side is frozen into tests/fixtures/nn_*.npz (builders in
 tests/torch_side/blocks.py; regenerate with MPA_REGEN_ORACLES=1)."""
 
+import pytest
 import os
 import sys
 
@@ -130,6 +131,7 @@ class TestUmbrellaConstructorParity:
 
 
 class TestKeepHighEncoder:
+    @pytest.mark.slow
     def test_forward_shapes_and_grads(self):
         # residual=False states must keep the channel width (in_c == out_c).
         enc = KeepHighResolutionEncoder(

@@ -2,6 +2,7 @@
 feature propagation parity, full model forward, and training smoke with the
 exact IoU protocol."""
 
+import pytest
 import os
 import sys
 
@@ -166,6 +167,7 @@ class TestMarkovPartSeg:
         probs = np.exp(np.asarray(out))
         np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
 
+    @pytest.mark.slow
     def test_training_reduces_loss(self):
         model = tiny_partseg()
         pts, cats, segs = synthetic_partseg(

@@ -112,6 +112,7 @@ class TestPrefetchErrorPropagation:
             next(it)
 
 
+@pytest.mark.slow
 class TestRepSurf2xTrains:
     def test_loss_decreases(self):
         """The 2x model trains through the previously NaN-poisoned umbrella +

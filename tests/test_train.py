@@ -238,6 +238,7 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 class TestMultiDevicePartSeg:
     def test_sharded_partseg_step_matches_single_device(self):
         """The seg path (3-branch LocalMerge encoder, Fuse exchanges,
@@ -394,6 +395,7 @@ def _sharded_vs_single(model, inputs, labels, loss_fn, *, seed=0, grad_mode="exa
             assert_matches(s1.batch_stats, s8.batch_stats, "batch_stats")
 
 
+@pytest.mark.slow
 class TestMultiDeviceAllHeads:
     """Sharded-vs-single parity for the remaining task heads (VERDICT r1
     item 4): cls and partseg are covered above; these exercise semseg's

@@ -2,6 +2,7 @@
 
 Real datasets are absent from this image, so the strongest available stand-in
 for "trains to the same accuracy" is: start the torch reference and MarkovCls
+import pytest
 from the SAME transplanted weights, feed them the SAME synthetic batches, run
 the SAME optimizer (SGD + momentum), and assert the train-mode loss curves
 track step for step. This exercises train-mode BatchNorm, the folded
@@ -121,6 +122,7 @@ class TestTrainingCurveEquivalence:
         assert got[-1] < got[0] - 0.2
         assert abs((want[0] - want[-1]) - (got[0] - got[-1])) < 0.1
 
+    @pytest.mark.slow
     def test_bf16_curve_tracks_f32(self):
         """Mixed precision (compute_dtype=bf16): training from the same
         transplanted init on the same batches must track the f32 curve.

@@ -142,6 +142,7 @@ class TestSemsegWindowMode:
         assert losses[-1] < losses[0], losses
 
     @pytest.mark.parametrize("mode", ["window", "window_all"])
+    @pytest.mark.slow
     def test_permutation_equivariance(self, mode):
         """The Morton sort canonicalizes row order, so a permuted input must
         produce exactly the permuted output (eval mode, deterministic FPS) —
