@@ -17,7 +17,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mpa_tpu.ops import farthest_point_sample, index_points, scatter_mean_upsample
+from mpa_tpu.ops import (
+    banded_farthest_point_sample,
+    farthest_point_sample,
+    index_points,
+    pick_fps_bands,
+    scatter_mean_upsample,
+)
 from mpa_tpu.ops.morton import morton_order
 from mpa_tpu.nn.linear import LinearUnit
 from mpa_tpu.nn.local_merge import LocalMerge
@@ -45,6 +51,11 @@ class MarkovSemSeg(nn.Module):
     # last O(N^2) terms: the full scalability mode for large scenes.
     # 'exact' (default) is the reference-style semantics.
     neighbor_mode: str = "exact"
+    # Banded-FPS floors (window_all only): a scale bands its FPS when every
+    # band keeps >= fps_min_band points and contributes >= fps_min_samples
+    # samples (ops/fps.py pick_fps_bands). Lowered only in tests.
+    fps_min_band: int = 512
+    fps_min_samples: int = 64
 
     @property
     def _windowed(self) -> bool:
@@ -94,8 +105,23 @@ class MarkovSemSeg(nn.Module):
 
         cur_xyz = xyz
         for i, npoint in enumerate(self.npoints):
-            fps_idx = farthest_point_sample(
-                cur_xyz, npoint, key=None if fps_keys is None else fps_keys[i]
+            # 'window_all' (the full scalability mode) also bands FPS: the
+            # cloud is Morton-sorted here, so contiguous index bands are
+            # spatially coherent and per-band FPS keeps uniform coverage while
+            # cutting the one remaining serial chain by the band count
+            # (docs/PERF.md; approximation measured in extended_quality.json).
+            fps_bands = (
+                pick_fps_bands(
+                    cur_xyz.shape[1], npoint,
+                    min_band=self.fps_min_band,
+                    min_samples=self.fps_min_samples,
+                )
+                if self.neighbor_mode == "window_all"
+                else 1
+            )
+            fps_idx = banded_farthest_point_sample(
+                cur_xyz, npoint, fps_bands,
+                key=None if fps_keys is None else fps_keys[i],
             )
             if self._windowed:
                 # sorted FPS subset keeps every scale in Morton order (the

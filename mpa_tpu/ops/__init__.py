@@ -14,7 +14,11 @@ layout and is used consistently across this framework).
 from mpa_tpu.ops.pairwise import inner_correlation, square_distance
 from mpa_tpu.ops.gather import index_points, resort_points, mod_index
 from mpa_tpu.ops.knn import knn, knn_self, knn_point2
-from mpa_tpu.ops.fps import farthest_point_sample
+from mpa_tpu.ops.fps import (
+    banded_farthest_point_sample,
+    farthest_point_sample,
+    pick_fps_bands,
+)
 from mpa_tpu.ops.ball_query import ball_query
 from mpa_tpu.ops.scatter import scatter_mean_upsample
 from mpa_tpu.ops.interp import three_nn_interpolate

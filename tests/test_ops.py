@@ -125,6 +125,55 @@ class TestFps:
         )
 
 
+class TestBandedFps:
+    def test_one_band_is_exact(self):
+        pts = jnp.asarray(rng(40).normal(size=(2, 32, 3)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(ops.banded_farthest_point_sample(pts, 8, 1)),
+            np.asarray(ops.farthest_point_sample(pts, 8)),
+        )
+
+    def test_is_per_band_exact_fps(self):
+        # Each band's block must equal exact FPS run on that band's slice,
+        # with indices offset into the global range.
+        r = rng(41)
+        pts = r.normal(size=(2, 64, 3)).astype(np.float32)
+        G, nb, pb = 4, 16, 4
+        idx = np.asarray(
+            ops.banded_farthest_point_sample(jnp.asarray(pts), G * pb, G)
+        ).reshape(2, G, pb)
+        for b in range(2):
+            for g in range(G):
+                want = np.asarray(
+                    ops.farthest_point_sample(
+                        jnp.asarray(pts[b : b + 1, g * nb : (g + 1) * nb]), pb
+                    )
+                )[0] + g * nb
+                np.testing.assert_array_equal(idx[b, g], want)
+
+    def test_band_ranges_disjoint_and_unique(self):
+        pts = jnp.asarray(rng(42).normal(size=(3, 128, 3)).astype(np.float32))
+        idx = np.asarray(ops.banded_farthest_point_sample(pts, 32, 8))
+        for b in range(3):
+            assert len(np.unique(idx[b])) == 32
+            blocks = idx[b].reshape(8, 4)
+            for g in range(8):
+                assert blocks[g].min() >= g * 16 and blocks[g].max() < (g + 1) * 16
+
+    def test_rejects_nondivisible(self):
+        pts = jnp.asarray(rng(43).normal(size=(1, 30, 3)).astype(np.float32))
+        with pytest.raises(ValueError):
+            ops.banded_farthest_point_sample(pts, 10, 4)
+
+    def test_pick_fps_bands(self):
+        # 16k scene, halving scales: bands bounded by both floors.
+        assert ops.pick_fps_bands(16384, 8192) == 32  # band 512, 256 samples
+        assert ops.pick_fps_bands(4096, 2048) == 8  # band 512, 256 samples
+        assert ops.pick_fps_bands(2048, 64) == 1  # samples floor binds
+        assert ops.pick_fps_bands(512, 256) == 1  # band floor binds
+        assert ops.pick_fps_bands(30, 10) == 1  # non-divisible
+
+
 class TestBallQuery:
     def test_matches_reference_semantics(self):
         r = rng(9)

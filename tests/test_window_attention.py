@@ -141,6 +141,33 @@ class TestSemsegWindowMode:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
+    def test_window_all_banded_fps_trains(self):
+        """window_all with band floors low enough that every encoder FPS
+        actually bands (pick_fps_bands > 1) — the full scalability path."""
+        import jax
+        from mpa_tpu import train as tr
+        from mpa_tpu.models import get_model
+        from mpa_tpu.ops import pick_fps_bands
+
+        model = get_model(
+            "markov_semseg", num_classes=5, feature_channels=0,
+            npoints=(128, 64), channels=(8, 8, 8), residuals=(True, False, False),
+            neighbor_mode="window_all", fps_min_band=64, fps_min_samples=16,
+        )
+        assert pick_fps_bands(256, 128, min_band=64, min_samples=16) > 1
+        pts = _morton_cloud(2, 256, seed=21)
+        tx = tr.make_optimizer("sgd", 0.05, momentum=0.9)
+        state = tr.create_train_state(model, jax.random.key(0), pts, tx)
+        segs = jax.random.randint(jax.random.key(1), pts.shape[:2], 0, 5)
+        loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, 0.0)
+        step = jax.jit(tr.make_train_step(loss_fn))
+        losses = []
+        for i in range(6):
+            state, loss = step(state, pts, segs, jax.random.key(2 + i))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
     @pytest.mark.parametrize("mode", ["window", "window_all"])
     @pytest.mark.slow
     def test_permutation_equivariance(self, mode):
