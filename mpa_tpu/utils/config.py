@@ -24,6 +24,13 @@ class TrainConfig:
     # docs/PERF.md) | 'window_all' (feature-space kNN banded too - the full
     # scalability mode, a stronger documented approximation)
     neighbor_mode: str = 'exact'
+    # window_all only: banded-FPS floors (ops/fps.py pick_fps_bands) — a
+    # scale bands its FPS when every Morton band keeps >= fps_min_band points
+    # and contributes >= fps_min_samples samples. The defaults engage banding
+    # only at large-scene sizes; quality runs lower them to measure the
+    # approximation at their own scale (scripts/extended_quality.py).
+    fps_min_band: int = 512
+    fps_min_samples: int = 64
 
     # data
     dataset: str = "synthetic"  # 'scanobjectnn' | 'modelnet40' | 'shapenetpart' | 's3dis' | 'synthetic'

@@ -55,11 +55,16 @@ RUNS = {
     # pose/completion: enlarged synthetic train sets (512 clouds memorize
     # before generalizing — measured r2) + longer cosine schedules; sized for
     # the chip, where each run is minutes.
+    # fps floors lowered so banded FPS (r3) actually engages at this scale
+    # (512->256 bands 8x with these floors; the production defaults band only
+    # at large-scene sizes) — the bar then covers ALL window_all
+    # approximations: banded feature kNN, banded spatial searches, banded FPS.
     "semseg_window_all": ["--task", "semseg", "--dataset", "synthetic",
                           "--num_points", "512", "--batch_size", "8",
                           "--epochs", "60", "--learning_rate", "0.05",
                           "--scheduler", "cos", "--eta_min", "1e-3",
-                          "--neighbor_mode", "window_all"],
+                          "--neighbor_mode", "window_all",
+                          "--fps_min_band", "64", "--fps_min_samples", "16"],
     "pose": ["--task", "pose", "--dataset", "synthetic", "--num_points",
              "256", "--batch_size", "32", "--epochs", "100",
              "--synthetic_train_clouds", "4096",
