@@ -16,6 +16,7 @@ from mpa_tpu.extras import DGCNN, SpatialPyramidNetVLAD, Disp3DEncoder  # noqa: 
 from mpa_tpu.models import MarkovPartSegFP, list_models  # noqa: E402
 from mpa_tpu.data.synthetic import synthetic_partseg  # noqa: E402
 from mpa_tpu.data.shapenetpart import to_categorical  # noqa: E402
+from jit_util import jit_init, jit_apply  # noqa: E402
 
 
 def rng(seed=0):
@@ -77,8 +78,8 @@ class TestExtras:
     def test_dgcnn_forward(self):
         model = DGCNN(num_classes=5, k=4, block_widths=(8, 8, 16, 16))
         x = jnp.asarray(rng(4).normal(size=(2, 32, 3)).astype(np.float32))
-        variables = model.init({"params": jax.random.key(0)}, x, train=False)
-        out = model.apply(variables, x, train=False)
+        variables = jit_init(model, {"params": jax.random.key(0)}, x, train=False)
+        out = jit_apply(model, variables, x, train=False)
         assert out.shape == (2, 5)
         assert np.all(np.isfinite(np.asarray(out)))
 
@@ -88,16 +89,16 @@ class TestExtras:
     def test_netvlad(self):
         model = SpatialPyramidNetVLAD(output_dim=32, cluster_size=8)
         x = jnp.asarray(rng(5).normal(size=(2, 64, 16)).astype(np.float32))
-        variables = model.init({"params": jax.random.key(0)}, x, train=False)
-        out = model.apply(variables, x, train=False)
+        variables = jit_init(model, {"params": jax.random.key(0)}, x, train=False)
+        out = jit_apply(model, variables, x, train=False)
         assert out.shape == (2, 32)
         assert np.all(np.isfinite(np.asarray(out)))
 
     def test_disp3d_encoder(self):
         model = Disp3DEncoder(widths=(8, 16), support_num=2, k=4)
         x = jnp.asarray(rng(6).normal(size=(2, 32, 3)).astype(np.float32))
-        variables = model.init({"params": jax.random.key(0)}, x, train=False)
-        out = model.apply(variables, x, train=False)
+        variables = jit_init(model, {"params": jax.random.key(0)}, x, train=False)
+        out = jit_apply(model, variables, x, train=False)
         assert out.shape == (2, 32, 16)
         assert np.all(np.isfinite(np.asarray(out)))
 

@@ -12,6 +12,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from oracle_cache import oracle, subtree  # noqa: E402
+from jit_util import jit_init, jit_apply  # noqa: E402
 
 from mpa_tpu import ops, train as tr  # noqa: E402
 from mpa_tpu.nn import Fuse, compose_fps_chain, PointNetFeaturePropagation  # noqa: E402
@@ -155,13 +156,14 @@ class TestMarkovPartSeg:
         model = tiny_partseg()
         pts, cats, _ = synthetic_partseg(4, num_points=64, num_categories=4, num_parts=8)
         onehot = to_categorical(cats, 4)
-        variables = model.init(
+        variables = jit_init(
+            model,
             {"params": jax.random.key(0)},
             (jnp.asarray(pts), jnp.asarray(onehot)),
             train=False,
         )
-        out = model.apply(
-            variables, (jnp.asarray(pts), jnp.asarray(onehot)), train=False
+        out = jit_apply(
+            model, variables, (jnp.asarray(pts), jnp.asarray(onehot)), train=False
         )
         assert out.shape == (4, 64, 8)
         probs = np.exp(np.asarray(out))
@@ -201,13 +203,16 @@ class TestMarkovPartSeg:
             4, num_points=64, num_categories=16, num_parts=50
         )
         onehot = to_categorical(cats, 16)
-        variables = model.init(
+        variables = jit_init(
+            model,
             {"params": jax.random.key(0)},
             (jnp.asarray(pts), jnp.asarray(onehot)),
             train=False,
         )
         logp = np.asarray(
-            model.apply(variables, (jnp.asarray(pts), jnp.asarray(onehot)), train=False)
+            jit_apply(
+                model, variables, (jnp.asarray(pts), jnp.asarray(onehot)), train=False
+            )
         )
         pred = tr.metrics.category_masked_argmax(logp, cats, SEG_PARTS)
         # masked argmax must stay inside the category's parts

@@ -65,13 +65,15 @@ class TestNanGradientGuards:
         pts = r.normal(size=(1, 32, 3)).astype(np.float32)
         pts[0, 1] = pts[0, 0]  # duplicated point -> degenerate umbrella fans
         model = UmbrellaSurfaceConstructor(k=9, random_inv=False)
-        variables = model.init({"params": jax.random.key(0)}, jnp.asarray(pts), train=False)
+        variables = jax.jit(
+            lambda r, x: model.init({"params": r}, x, train=False)
+        )(jax.random.key(0), jnp.asarray(pts))
 
         def loss(p):
             out = model.apply(variables, p, train=False)
             return jnp.sum(out**2)
 
-        g = jax.grad(loss)(jnp.asarray(pts))
+        g = jax.jit(jax.grad(loss))(jnp.asarray(pts))
         assert bool(jnp.all(jnp.isfinite(g))), "NaN leaked through the repair"
 
 

@@ -2,7 +2,6 @@
 
 Real datasets are absent from this image, so the strongest available stand-in
 for "trains to the same accuracy" is: start the torch reference and MarkovCls
-import pytest
 from the SAME transplanted weights, feed them the SAME synthetic batches, run
 the SAME optimizer (SGD + momentum), and assert the train-mode loss curves
 track step for step. This exercises train-mode BatchNorm, the folded
@@ -28,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from oracle_cache import oracle, subtree  # noqa: E402

@@ -177,14 +177,17 @@ class TestSemsegWindowMode:
         import jax
 
         model, pts = self._model_and_input(mode)
-        variables = model.init(jax.random.key(0), pts, train=False)
-        out = model.apply(variables, pts, train=False)
+        apply_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.key(0), pts
+        )
+        out = apply_fn(variables, pts)
 
         perm = np.asarray(
             [np.random.default_rng(s).permutation(pts.shape[1]) for s in (5, 6)]
         )
         pts_p = jnp.take_along_axis(pts, jnp.asarray(perm)[..., None], axis=1)
-        out_p = model.apply(variables, pts_p, train=False)
+        out_p = apply_fn(variables, pts_p)
         want = jnp.take_along_axis(out, jnp.asarray(perm)[..., None], axis=1)
         np.testing.assert_allclose(
             np.asarray(out_p), np.asarray(want), atol=1e-5
