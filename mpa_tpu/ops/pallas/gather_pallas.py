@@ -43,6 +43,14 @@ def _round_up(x: int, m: int) -> int:
 LOOP_GATHER_MAX_SLAB_BYTES = 6 * 1024 * 1024
 _LG_ROWS_PER_ITER = 16
 
+# Batch-in-grid variant: one kernel launch with grid (B, E/T) instead of a
+# vmap of B launches. Standalone (dispatch-bound) it measures 1.2-1.8x on
+# shapes whose [B, E] i32 index prefetch fits SMEM — but IN-STEP, where XLA
+# pipelines the per-batch launches, it is neutral-to-slightly-negative
+# (22.26 vs 22.08 ms part-seg B8; scripts/gather_ab_batchgrid.py), so it is
+# OFF by default. Set >0 (bytes of allowed [B, E] prefetch) to enable.
+BATCHGRID_MAX_PREFETCH_BYTES = 0
+
 
 def _loop_gather_kernel(idx_ref, src_ref, out_ref, *, T: int, rpi: int):
     base0 = pl.program_id(0) * T
@@ -52,6 +60,21 @@ def _loop_gather_kernel(idx_ref, src_ref, out_ref, *, T: int, rpi: int):
         for r in range(rpi):
             out_ref[pl.ds(base + r, 1), :] = src_ref[
                 pl.ds(idx_ref[base0 + base + r], 1), :
+            ]
+        return 0
+
+    jax.lax.fori_loop(0, T // rpi, body, 0)
+
+
+def _loop_gather_kernel_bg(idx_ref, src_ref, out_ref, *, T: int, rpi: int):
+    b = pl.program_id(0)
+    base0 = pl.program_id(1) * T
+
+    def body(i, _):
+        base = i * rpi
+        for r in range(rpi):
+            out_ref[0, pl.ds(base + r, 1), :] = src_ref[
+                0, pl.ds(idx_ref[b, base0 + base + r], 1), :
             ]
         return 0
 
@@ -84,6 +107,21 @@ def loop_gather_rows(points, flat_idx):
     ix = flat_idx.astype(jnp.int32)
     if Ep != E:
         ix = jnp.pad(ix, ((0, 0), (0, Ep - E)))
+
+    if B * Ep * 4 <= BATCHGRID_MAX_PREFETCH_BYTES:
+        # One launch, batch folded into the grid; the [N, W] slab block is
+        # fetched once per batch element (index map depends only on b).
+        out = pl.pallas_call(
+            functools.partial(_loop_gather_kernel_bg, T=T, rpi=rpi),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, Ep // T),
+                in_specs=[pl.BlockSpec((1, N, W), lambda b, i, idx_ref: (b, 0, 0))],
+                out_specs=pl.BlockSpec((1, T, W), lambda b, i, idx_ref: (b, i, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Ep, W), points.dtype),
+        )(ix, points)
+        return out[:, :E] if Ep != E else out
 
     def one(src_b, idx_b):
         return pl.pallas_call(

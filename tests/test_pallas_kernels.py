@@ -224,6 +224,26 @@ class TestLoopGather:
         want = np.asarray(jnp.take_along_axis(pts, idx[..., None], axis=1))
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize(
+        "B,N,W,E",
+        [
+            (2, 512, 128, 2048),
+            (1, 100, 12, 530),  # ragged everything (padding path)
+        ],
+    )
+    def test_batchgrid_variant_matches(self, B, N, W, E, interpret_mode, monkeypatch):
+        """Opt-in batch-in-grid launch (grid (B, E/T), one kernel): bit-exact
+        vs the default vmap-of-launches path."""
+        from mpa_tpu.ops.pallas import gather_pallas as gp
+
+        r = rng(13)
+        pts = jnp.asarray(r.normal(size=(B, N, W)).astype(np.float32))
+        idx = jnp.asarray(r.integers(0, N, size=(B, E)).astype(np.int32))
+        want = np.asarray(gp.loop_gather_rows(pts, idx))
+        monkeypatch.setattr(gp, "BATCHGRID_MAX_PREFETCH_BYTES", 1 << 30)
+        got = np.asarray(gp.loop_gather_rows(pts, idx))
+        np.testing.assert_array_equal(got, want)
+
     def test_dispatch_falls_back_off_tpu(self):
         """On this CPU suite, fast_gather_rows must route to XLA (eligibility
         gate) and still be exact."""
