@@ -239,11 +239,15 @@ def bench_semseg_16k():
             }
             break
         model = get_model("markov_semseg", npoints=npoints, neighbor_mode=mode)
+        # iters must amortize the ~30 ms axon-tunnel RTT the first dispatch
+        # after a host fence pays: at iters=3 every mode reads ~+10 ms/step
+        # (measured: window_all 52.0 -> 40.9 ms/step going 3 -> 20 iters),
+        # which understates the faster modes' relative speedup.
         _, _, dt, _ = _train_bench(
             model, pts, labels,
             lambda o, l: tr.smooth_seg_loss(o, l, 0.1),
             tr.make_optimizer("sgd", 0.1, weight_decay=1e-4, momentum=0.9),
-            B, windows=3, iters=3,
+            B, windows=3, iters=12,
         )
         res[f"{mode}_ms_per_step"] = round(dt * 1e3, 1)
     for mode in ("window", "window_all"):
