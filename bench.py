@@ -73,6 +73,17 @@ def _measure(step, state, args, batch, windows, iters):
     for _ in range(3):
         state, loss = step(state, *args)
     float(loss)
+    # Self-tune iters: the first dispatch after a host fence pays the
+    # ~30-40 ms axon tunnel RTT once per window (measured: 16k window_all
+    # reads 52.0 ms/step at iters=3 vs 40.9 at iters=20), so each window is
+    # stretched to ~3 s of steps, bounding the fence skew at ~1.5%. The
+    # passed iters acts as a floor.
+    t0 = time.perf_counter()
+    for _ in range(4):
+        state, loss = step(state, *args)
+    float(loss)
+    est = (time.perf_counter() - t0) / 4
+    iters = max(iters, min(400, int(3.0 / max(est, 1e-4)) + 1))
     times = []
     for _ in range(windows):
         t0 = time.perf_counter()
@@ -239,10 +250,9 @@ def bench_semseg_16k():
             }
             break
         model = get_model("markov_semseg", npoints=npoints, neighbor_mode=mode)
-        # iters must amortize the ~30 ms axon-tunnel RTT the first dispatch
-        # after a host fence pays: at iters=3 every mode reads ~+10 ms/step
-        # (measured: window_all 52.0 -> 40.9 ms/step going 3 -> 20 iters),
-        # which understates the faster modes' relative speedup.
+        # _measure self-tunes iters upward to ~3 s windows; 12 is the floor
+        # (at iters=3 the per-window tunnel-RTT fence cost understated the
+        # faster modes' relative speedup by ~20%).
         _, _, dt, _ = _train_bench(
             model, pts, labels,
             lambda o, l: tr.smooth_seg_loss(o, l, 0.1),
