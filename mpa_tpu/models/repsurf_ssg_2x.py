@@ -8,7 +8,7 @@ RepSurf paper baseline) + FC classifier head with log-softmax output.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -26,6 +26,12 @@ class RepSurfSSG2x(nn.Module):
     return_dist: bool = True
     return_polar: bool = True
     dropout: float = 0.4
+    # Scale knobs (defaults = the published 2x config). sa_npoints shrinks the
+    # SA ladder for small-input smoke/dryrun configs; width_div divides every
+    # MLP/FC channel width. Keep both at defaults for parity with the
+    # reference (models/repsurf/repsurf_ssg_umb_2x.py:11-61).
+    sa_npoints: Optional[Tuple[int, int, int]] = None
+    width_div: int = 1
 
     @nn.compact
     def __call__(
@@ -42,10 +48,16 @@ class RepSurfSSG2x(nn.Module):
 
         # Grouped position channels: centre-relative xyz (+ polar) = 6 with polar.
         pos_ch = 6 if self.return_polar else 3
+        npts = self.sa_npoints or (512, 128, 32)
+        dv = self.width_div
+
+        def w(*chs):
+            return tuple(max(8, c // dv) for c in chs)
+
         sa_defs = [
-            dict(npoint=512, radius=0.1, nsample=24, mlp=(128, 128, 256)),
-            dict(npoint=128, radius=0.2, nsample=24, mlp=(256, 256, 512)),
-            dict(npoint=32, radius=0.4, nsample=24, mlp=(512, 512, 1024)),
+            dict(npoint=npts[0], radius=0.1, nsample=24, mlp=w(128, 128, 256)),
+            dict(npoint=npts[1], radius=0.2, nsample=24, mlp=w(256, 256, 512)),
+            dict(npoint=npts[2], radius=0.4, nsample=24, mlp=w(512, 512, 1024)),
         ]
         feature = None
         for i, d in enumerate(sa_defs):
@@ -63,14 +75,14 @@ class RepSurfSSG2x(nn.Module):
             radius=0.0,
             nsample=0,
             pos_channel=pos_ch,
-            mlp=(1024, 1024, 2048),
+            mlp=w(1024, 1024, 2048),
             group_all=True,
             return_polar=self.return_polar,
             name="sa4",
         )(center, normal, feature, train=train)
-        x = feature[:, 0]  # [B, 2048]
+        x = feature[:, 0]  # [B, 2048 // width_div]
 
-        for i, width in enumerate((512, 256)):
+        for i, width in enumerate(w(512, 256)):
             x = nn.Dense(width, name=f"fc{i + 1}")(x)
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -1,0 +1,73 @@
+"""Driver-interface contract for __graft_entry__.dryrun_multichip.
+
+Round-3 post-mortem (VERDICT r3 missing #1): the driver kills the dryrun at
+~600 s, cold-cache, on a 1-core CPU image with n_devices=8 — and rounds 2/3
+both timed out there. The r4 protocol answers with tiny shapes (full
+architecture, small point counts), a weighted fair-share budget of 450 s, a
+committed compile cache (.jax_dryrun_cache/), and a per-workload
+init/compile/execute split in every output line. These tests pin that
+protocol: the full warm dryrun must finish well inside the kill window and
+print all six workload lines.
+"""
+
+import os
+import re
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EXPECTED = [
+    "repsurf_ssg_2x",
+    "markov_semseg",
+    "markov_partseg",
+    "markov_cls",
+    "markov_pose",
+    "markov_completion",
+]
+
+
+def test_budget_default_inside_kill_window():
+    """The env default must stay strictly below the driver's observed ~600 s
+    kill (r3 shipped 1500 s — larger than the window it was meant to fit)."""
+    import __graft_entry__ as g  # noqa: F401  (repo root on sys.path via conftest)
+
+    src = open(os.path.join(REPO, "__graft_entry__.py")).read()
+    m = re.search(r'MPA_DRYRUN_BUDGET_S",\s*"(\d+)"', src)
+    assert m, "budget default not found"
+    assert int(m.group(1)) <= 500
+
+
+def test_cache_is_committed():
+    """The persistent compile cache must be tracked (r3's was gitignored and
+    demonstrably cold at driver time)."""
+    out = subprocess.run(
+        ["git", "ls-files", ".jax_dryrun_cache"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout
+    assert len(out.strip().splitlines()) >= 6, (
+        "committed .jax_dryrun_cache/ entries missing — re-prime with "
+        "`python __graft_entry__.py 8` and commit the cache"
+    )
+
+
+@pytest.mark.slow
+def test_warm_full_dryrun_under_300s():
+    """VERDICT r3 item 1: a warm full dryrun (committed cache present) must
+    complete in <300 s on this image and print every workload line.
+    Measured r4: warm 57 s, cold 247 s."""
+    t0 = time.time()
+    p = subprocess.run(
+        [sys.executable, "__graft_entry__.py", "8"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    wall = time.time() - t0
+    assert p.returncode == 0, p.stderr[-2000:]
+    for name in EXPECTED:
+        assert f"{name}: ok" in p.stdout, (name, p.stdout)
+    assert wall < 300, wall
+    # The compile/execute split must be present for driver-tail diagnosis.
+    assert re.search(r"\[init \d+s, compile \d+s, exec \d+s", p.stdout)
