@@ -38,6 +38,15 @@ BARS = {
     "semseg_window_all": ("block_miou", ">=", 0.95),
     "pose": ("geodesic_error_deg", "<=", 10.0),
     "completion": ("chamfer", "<=", 2e-2),
+    # Large-scene pair (VERDICT r3 item 4): window mode exists FOR large
+    # scenes, so its quality price must be measured at a scale where the
+    # production banding floors actually engage (4096 pts; the 512-pt runs
+    # above lower the floors artificially). The exact run anchors the task;
+    # window_all's bar is deliberately looser — it reproduces only 60-85% of
+    # exact kNN picks at this scale (docs/PERF.md) and the artifact records
+    # the resulting mIoU delta as the speedup's price tag.
+    "semseg_4k": ("block_miou", ">=", 0.95),
+    "semseg_4k_window_all": ("block_miou", ">=", 0.90),
 }
 
 RUNS = {
@@ -65,6 +74,18 @@ RUNS = {
                           "--scheduler", "cos", "--eta_min", "1e-3",
                           "--neighbor_mode", "window_all",
                           "--fps_min_band", "64", "--fps_min_samples", "16"],
+    # The 4k pair: production banding floors (no --fps_min_band override —
+    # banding engages on its own at this scale). Same task family as the
+    # 512-pt runs, 8x the scene size; epochs sized for the chip.
+    "semseg_4k": ["--task", "semseg", "--dataset", "synthetic", "--num_points",
+                  "4096", "--batch_size", "8", "--epochs", "40",
+                  "--learning_rate", "0.05", "--scheduler", "cos",
+                  "--eta_min", "1e-3"],
+    "semseg_4k_window_all": ["--task", "semseg", "--dataset", "synthetic",
+                             "--num_points", "4096", "--batch_size", "8",
+                             "--epochs", "40", "--learning_rate", "0.05",
+                             "--scheduler", "cos", "--eta_min", "1e-3",
+                             "--neighbor_mode", "window_all"],
     "pose": ["--task", "pose", "--dataset", "synthetic", "--num_points",
              "256", "--batch_size", "32", "--epochs", "100",
              "--synthetic_train_clouds", "4096",
@@ -79,7 +100,30 @@ RUNS = {
                    "--scheduler", "cos", "--eta_min", "1e-5"],
 }
 
-QUICK = {"semseg": "2", "semseg_window": "2", "semseg_window_all": "2", "pose": "2", "completion": "2"}
+QUICK = {"semseg": "2", "semseg_window": "2", "semseg_window_all": "2",
+         "semseg_4k": "1", "semseg_4k_window_all": "1",
+         "pose": "2", "completion": "2"}
+
+# Per-head artifact notes (VERDICT r3 weak #6: record expected anomalies so
+# the numbers are self-describing).
+NOTES = {
+    "semseg_window": (
+        "~3x slower wall than exact at this 512-pt quality scale — banding "
+        "overhead dominates at small N; the mode targets large scenes "
+        "(see the semseg_4k pair and bench.py's semseg_16k block)"
+    ),
+    "semseg_window_all": (
+        "~3x slower wall than exact at this 512-pt quality scale (banding "
+        "floors lowered here so the approximation engages at all); speed is "
+        "measured where it matters, at 4k/16k — this entry measures quality "
+        "only"
+    ),
+    "semseg_4k_window_all": (
+        "production banding floors at the scale window mode is built for; "
+        "the mIoU delta vs semseg_4k is the quality price of the banded "
+        "neighborhood approximation"
+    ),
+}
 
 
 def last_metric(run_root: str, key: str):
@@ -162,6 +206,8 @@ def main():
                 "wall_s": round(time.time() - t0, 1),
                 "config": " ".join(cli),
             }
+            if head in NOTES:
+                results[head]["note"] = NOTES[head]
             print(f"{head}: {key}={val} (bar {cmp_} {bar}) -> "
                   f"{'PASS' if ok else 'FAIL'}", flush=True)
             write_out()

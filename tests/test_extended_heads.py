@@ -144,7 +144,7 @@ class TestPose:
 
 
 class TestCompletion:
-    def test_shapes_and_chamfer_descends(self):
+    def _model_and_data(self):
         model = MarkovCompletion(
             num_coarse=32, up_ratio=2,
             npoints=(16, 8), channels=(16, 16, 32),
@@ -153,7 +153,10 @@ class TestCompletion:
         r = rng(6)
         partial = jnp.asarray(r.normal(size=(4, 64, 3)).astype(np.float32))
         full = jnp.asarray(r.normal(size=(4, 64, 3)).astype(np.float32))
+        return model, partial, full
 
+    def test_shapes(self):
+        model, partial, _ = self._model_and_data()
         tx = tr.make_optimizer("adam-l2", 1e-3)
         state = tr.create_train_state(model, jax.random.key(0), partial, tx)
         coarse, fine = tr.make_eval_step()(state, partial)
@@ -162,6 +165,12 @@ class TestCompletion:
         # include_input semantics: the observed cloud is passed through
         # verbatim as the head of the fine output
         assert np.allclose(np.asarray(fine[:, :64]), np.asarray(partial))
+
+    @pytest.mark.slow
+    def test_chamfer_descends(self):
+        model, partial, full = self._model_and_data()
+        tx = tr.make_optimizer("adam-l2", 1e-3)
+        state = tr.create_train_state(model, jax.random.key(0), partial, tx)
 
         def loss_fn(out, target):
             coarse, fine = out

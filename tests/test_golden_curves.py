@@ -156,3 +156,11 @@ class TestExtendedQuality:
             r = results[head]
             assert r.get("pass") is True, f"{head}: {r}"
             assert r.get("value") is not None
+
+    def test_window_runs_are_self_describing(self):
+        """VERDICT r3 weak #6: the 512-pt window runs are ~3x slower than
+        exact (banding overhead dominates at small N — expected, the mode
+        targets large scenes); the artifact must say so itself."""
+        results = self._load()["results"]
+        for head in ("semseg_window", "semseg_window_all"):
+            assert "slower" in results[head].get("note", ""), head

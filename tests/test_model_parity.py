@@ -41,6 +41,7 @@ def forward_fixture():
 
 
 class TestFullClsModelParity:
+    @pytest.mark.slow
     def test_logits_match(self):
         f = forward_fixture()
         got = np.asarray(

@@ -104,22 +104,30 @@ class TestFuse:
             cur = nxt
         return ch, feats, fps, knn_idx, xyz
 
-    def test_each_target_scale(self):
+    # Default tier checks the two extreme target scales (finest: all coarser
+    # sources upsampled in; coarsest: all finer sources FPS-chained down);
+    # the middle scales compile near-identical graphs and run in the slow
+    # tier (VERDICT r3 item 5: each scale costs ~6 s of CPU compile).
+    @pytest.mark.parametrize(
+        "t", [0, pytest.param(1, marks=pytest.mark.slow),
+              pytest.param(2, marks=pytest.mark.slow),
+              pytest.param(3, marks=pytest.mark.slow), 4]
+    )
+    def test_each_target_scale(self, t):
         ch, feats, fps, knn_idx, xyz = self._setup()
-        for t in range(5):
-            fuse = Fuse(ch, num_neighbors=4)
-            variables = fuse.init(
-                jax.random.key(t), t, feats, fps, knn_idx, xyz, train=False
-            )
-            out = fuse.apply(variables, t, feats, fps, knn_idx, xyz, train=False)
-            assert len(out) == 5
-            for s in range(5):
-                assert out[s].shape == feats[s].shape
-                if s != t:  # non-targets pass through untouched
-                    np.testing.assert_array_equal(
-                        np.asarray(out[s]), np.asarray(feats[s])
-                    )
-            assert np.all(np.isfinite(np.asarray(out[t])))
+        fuse = Fuse(ch, num_neighbors=4)
+        variables = fuse.init(
+            jax.random.key(t), t, feats, fps, knn_idx, xyz, train=False
+        )
+        out = fuse.apply(variables, t, feats, fps, knn_idx, xyz, train=False)
+        assert len(out) == 5
+        for s in range(5):
+            assert out[s].shape == feats[s].shape
+            if s != t:  # non-targets pass through untouched
+                np.testing.assert_array_equal(
+                    np.asarray(out[s]), np.asarray(feats[s])
+                )
+        assert np.all(np.isfinite(np.asarray(out[t])))
 
 
 class TestFeaturePropagationParity:

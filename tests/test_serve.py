@@ -1,6 +1,7 @@
 """Serving export: StableHLO artifact round-trip equals live inference."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,7 @@ def test_export_cli(tmp_path):
     assert bool(jnp.isfinite(logp).all())
 
 
+@pytest.mark.slow
 def test_partseg_export_roundtrip(tmp_path):
     """Tuple-input (points, label-onehot) model exports and round-trips."""
     # The published 5-scale architecture at a scaled-down ladder.
