@@ -314,6 +314,9 @@ def main(argv=None):
         model = get_model(
             cfg.model, num_parts=NUM_PARTS, num_categories=NUM_CATEGORIES,
             npoints=seg_ladder(4),
+            neighbor_mode=cfg.neighbor_mode,
+            fps_min_band=cfg.fps_min_band,
+            fps_min_samples=cfg.fps_min_samples,
         )
         loss_fn = lambda out, labels: tr.smooth_seg_loss(out, labels, cfg.label_smoothing)
     elif cfg.task == "semseg":

@@ -31,6 +31,12 @@ class MarkovPartSeg(nn.Module):
     num_neighbors: int = 8
     dropout: float = 0.5
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for mixed precision
+    # Morton-window neighbour modes (opt-in approximation for large clouds;
+    # same contract + measured quality methodology as MarkovSemSeg, which
+    # these modes were built for). 'exact' (default) = reference semantics.
+    neighbor_mode: str = "exact"
+    fps_min_band: int = 512
+    fps_min_samples: int = 64
 
     @nn.compact
     def __call__(
@@ -44,6 +50,13 @@ class MarkovPartSeg(nn.Module):
         -> per-point log-probs ``[B, N, num_parts]``."""
         points, label_onehot = inputs
         xyz = points[..., :3]
+        inv_perm = None
+        if self.neighbor_mode in ("window", "window_all"):
+            from mpa_tpu.ops.morton import morton_order
+
+            perm = morton_order(xyz)
+            inv_perm = jnp.argsort(perm, axis=-1)
+            xyz = jnp.take_along_axis(xyz, perm[..., None], axis=1)
         _, final = KeepHighResolutionPartSeg(
             npoints=tuple(self.npoints),
             channels=tuple(self.channels),
@@ -51,6 +64,9 @@ class MarkovPartSeg(nn.Module):
             num_neighbors=self.num_neighbors,
             num_categories=self.num_categories,
             dtype=self.compute_dtype,
+            neighbor_mode=self.neighbor_mode,
+            fps_min_band=self.fps_min_band,
+            fps_min_samples=self.fps_min_samples,
             name="keep_high",
         )(xyz, label_onehot, train=train, rng=rng)
 
@@ -59,7 +75,10 @@ class MarkovPartSeg(nn.Module):
         x = LinearUnit(256, norm="batch", dtype=self.compute_dtype, name="conv9")(x, train=train)
         x = LinearUnit(128, norm="batch", dtype=self.compute_dtype, name="conv10")(x, train=train)
         x = nn.Dense(self.num_parts, name="conv11")(x.astype(jnp.float32))
-        return jax.nn.log_softmax(x, axis=-1)
+        out = jax.nn.log_softmax(x, axis=-1)
+        if inv_perm is not None:
+            out = jnp.take_along_axis(out, inv_perm[..., None], axis=1)
+        return out
 
 
 @register_model("markov_partseg")
