@@ -66,6 +66,14 @@ CONFIGS = {
         lr=1e-3, weight_decay=1e-4, eval_every=50, eval_clouds=520,
         # StepLR(step=20 epochs, gamma=.7); epoch = 11416/40 steps.
         steps_per_epoch=285,
+        # Deterministic label noise (VERDICT r3 item 3): the clean composed-
+        # primitive task saturates both curves at eval acc 1.0 by step 99,
+        # making the late-regime guards trivial. Flipping 25% of train AND
+        # eval labels to a uniform other class caps a clean-predictor's eval
+        # acc at ~0.75, so the plateau sits strictly inside (0, 1) and the
+        # drift/vote guards measure real disagreement on marginal clouds.
+        # Both sides draw the SAME flips (seeded from the batch seed).
+        label_noise=0.25,
     ),
     "partseg": dict(
         batch=26, num_points=2048, steps=200,
@@ -100,23 +108,37 @@ def lr_schedule(task: str):
 
 
 # --- deterministic data ------------------------------------------------------
+def _flip_labels(labels, seed: int, p: float, num_classes: int):
+    """Deterministically flip a fraction p of labels to a uniform OTHER class
+    (so a flipped label is never accidentally correct). Shared by both sides:
+    the flips are part of the dataset, not of either framework."""
+    if p <= 0:
+        return labels
+    rng = np.random.default_rng(seed ^ 0x5EED_CAFE)
+    flip = rng.random(labels.shape) < p
+    offset = rng.integers(1, num_classes, size=labels.shape)
+    return np.where(flip, (labels + offset) % num_classes, labels).astype(labels.dtype)
+
+
 def cls_batch(step: int):
     from mpa_tpu.data.synthetic import realistic_clouds
 
     cfg = CONFIGS["cls"]
-    return realistic_clouds(
-        cfg["batch"], cfg["num_points"], cfg["num_classes"],
-        seed=DATA_SEED * 1_000_003 + step,
+    seed = DATA_SEED * 1_000_003 + step
+    pts, labels = realistic_clouds(
+        cfg["batch"], cfg["num_points"], cfg["num_classes"], seed=seed
     )
+    return pts, _flip_labels(labels, seed, cfg["label_noise"], cfg["num_classes"])
 
 
 def cls_eval_set():
     from mpa_tpu.data.synthetic import realistic_clouds
 
     cfg = CONFIGS["cls"]
-    return realistic_clouds(
+    pts, labels = realistic_clouds(
         cfg["eval_clouds"], cfg["num_points"], cfg["num_classes"], seed=999_999
     )
+    return pts, _flip_labels(labels, 999_999, cfg["label_noise"], cfg["num_classes"])
 
 
 def partseg_batch(step: int):

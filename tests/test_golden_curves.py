@@ -35,6 +35,16 @@ def load(task, side):
 
 
 class TestClsCurve:
+    """r4 curves (VERDICT r3 item 3): the clean synthetic task saturated both
+    sides at eval acc 1.0 by step 99, so the late-regime guards were trivial.
+    The task now carries 25% deterministic label noise (shared flips,
+    scripts/golden_equivalence.py), capping a clean predictor's eval acc at
+    ~0.75 — the plateau sits strictly inside (0, 1) and every guard below
+    measures real disagreement. Measured r4: torch plateau 0.72-0.73, final
+    evals identical (0.7288 both), vote-TTA identical, loss diff mean 0.034
+    over a 2.71 -> 1.6 descent (the noisy-label landscape is flatter, so
+    per-batch loss diffs run larger than the saturated task's 0.005)."""
+
     def test_train_loss_tracks(self):
         ttrain, _, _ = load("cls", "torch")
         jtrain, _, _ = load("cls", "jax")
@@ -44,18 +54,58 @@ class TestClsCurve:
         jl = np.array([r["loss"] for r in jtrain[:n]])
         diff = np.abs(tl - jl)
         # Identical init + data: curves must track to a small fraction of the
-        # total loss descent (2.67 -> 0.59) throughout, and converge together.
-        assert diff.mean() < 0.02, diff.mean()
+        # total loss descent throughout, and converge together.
+        assert diff.mean() < 0.06, diff.mean()
         assert diff.max() < 0.3, diff.max()
-        assert diff[-50:].mean() < 0.005, diff[-50:].mean()
+        assert diff[-50:].mean() < 0.05, diff[-50:].mean()
 
     def test_final_eval_matches(self):
         _, tevals, _ = load("cls", "torch")
         _, jevals, _ = load("cls", "jax")
         t, j = tevals[-1], jevals[-1]
-        assert abs(t["loss"] - j["loss"]) < 0.01
-        assert abs(t["acc"] - j["acc"]) < 0.01
-        assert abs(t["cls_acc"] - j["cls_acc"]) < 0.01
+        assert abs(t["loss"] - j["loss"]) < 0.02
+        assert abs(t["acc"] - j["acc"]) < 0.02
+        assert abs(t["cls_acc"] - j["cls_acc"]) < 0.02
+
+    def test_task_is_not_saturated(self):
+        """VERDICT r3 item 3's bar: last-half eval accs strictly inside
+        ~[0.6, 0.95] on BOTH sides, so the plateau/drift/vote guards
+        discriminate (a saturated curve passes them trivially)."""
+        for side in ("torch", "jax"):
+            _, evals, _ = load("cls", side)
+            accs = [e["acc"] for e in evals[len(evals) // 2 :]]
+            assert accs, side
+            assert all(0.6 <= a <= 0.95 for a in accs), (side, accs)
+
+    def test_eval_gap_plateaus(self):
+        """Same drift guard as the partseg curve: the torch-minus-jax eval
+        gap must wobble around a bounded offset, not widen."""
+        _, tevals, _ = load("cls", "torch")
+        _, jevals, _ = load("cls", "jax")
+        n = min(len(tevals), len(jevals))
+        assert n >= 8
+        gaps = np.array(
+            [t["acc"] - j["acc"] for t, j in zip(tevals[:n], jevals[:n])]
+        )
+        late, mid = np.abs(gaps[-3:]), np.abs(gaps[n // 2 - 2 : n // 2 + 1])
+        assert late.mean() <= mid.mean() + 0.01, (mid.tolist(), late.tolist())
+        assert late.max() < 0.03, gaps.tolist()
+        slope = np.polyfit(np.arange(3.0), gaps[-3:], 1)[0]
+        assert abs(slope) < 0.015, (slope, gaps[-3:].tolist())
+
+    def test_vote_tta_matches(self):
+        """The published cls numbers are vote-TTA numbers; both curves carry
+        a final-step 3-vote point on identical vote scales — now measured on
+        an unsaturated task (r3's was 1.0 vs 1.0)."""
+        _, _, tvotes = load("cls", "torch")
+        _, _, jvotes = load("cls", "jax")
+        if not (tvotes and jvotes):
+            pytest.skip("vote_eval points not recorded")
+        t, j = tvotes[-1], jvotes[-1]
+        assert t["step"] == j["step"] and t["votes"] == j["votes"]
+        assert 0.6 <= t["acc"] <= 0.95  # unsaturated
+        assert abs(t["acc"] - j["acc"]) < 0.02
+        assert abs(t["cls_acc"] - j["cls_acc"]) < 0.02
 
 
 class TestPartsegCurve:
