@@ -32,7 +32,7 @@ from mpa_tpu import train as tr
 from mpa_tpu.models import get_model
 from mpa_tpu.data import augment, synthetic_clouds, synthetic_partseg
 from mpa_tpu.data.shapenetpart import to_categorical, SEG_PARTS, NUM_PARTS, NUM_CATEGORIES
-from mpa_tpu.parallel import make_mesh, replicate, jit_sharded_train_step
+from mpa_tpu.parallel import make_mesh, replicate, shard_batch, jit_sharded_train_step
 from mpa_tpu.train.checkpoint import BestCheckpointer
 from mpa_tpu.train.votes import vote_predict
 
@@ -455,6 +455,29 @@ def main(argv=None):
             jnp.einsum("bij,bnj->bni", r2, pts),
             jnp.einsum("bij,bjk->bik", r2, rot),
         )
+
+    # Warm the train-step compile BEFORE the prefetch thread starts: the
+    # producer thread device_puts batches concurrently with the first step's
+    # compile, and on the tunneled axon backend a minutes-long compile RPC
+    # interleaved with streaming transfers has been observed to wedge the
+    # whole tunnel (r4: reproducible at 4096-pt semseg, where the compile is
+    # long; 512-pt runs with fast compiles never hit it). One throwaway step
+    # on a full-size example batch populates the jit cache; the result is
+    # discarded, so training semantics are unchanged.
+    warm = host_batch(next(batches(train_arrays, cfg.batch_size, np.random.default_rng(1))))
+    if cfg.task == "partseg":
+        w_pts, w_onehot, w_labels = warm
+        w_inputs = (w_pts, w_onehot)
+    else:
+        w_pts, w_labels = warm
+        w_inputs = w_pts
+    t0 = time.time()
+    # The step donates its state argument, so warm up on a throwaway copy.
+    warm_state = jax.tree_util.tree_map(jnp.copy, state)
+    jax.block_until_ready(
+        train_step(warm_state, *shard_batch((w_inputs, w_labels), mesh), step_rng)[1]
+    )
+    log.info(f"train step compiled in {time.time() - t0:.1f}s (warmup, discarded)")
 
     global_step = 0
     for epoch in range(cfg.epochs):

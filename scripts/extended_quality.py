@@ -78,11 +78,11 @@ RUNS = {
     # banding engages on its own at this scale). Same task family as the
     # 512-pt runs, 8x the scene size; epochs sized for the chip.
     "semseg_4k": ["--task", "semseg", "--dataset", "synthetic", "--num_points",
-                  "4096", "--batch_size", "8", "--epochs", "40",
+                  "4096", "--batch_size", "16", "--epochs", "40",
                   "--learning_rate", "0.05", "--scheduler", "cos",
                   "--eta_min", "1e-3"],
     "semseg_4k_window_all": ["--task", "semseg", "--dataset", "synthetic",
-                             "--num_points", "4096", "--batch_size", "8",
+                             "--num_points", "4096", "--batch_size", "16",
                              "--epochs", "40", "--learning_rate", "0.05",
                              "--scheduler", "cos", "--eta_min", "1e-3",
                              "--neighbor_mode", "window_all"],
