@@ -51,7 +51,16 @@ def prefetch_to_device(
 ) -> Iterator[Any]:
     """Run the host side of the pipeline on a background thread and device_put
     each batch with the leading dim sharded over ``axis``; yields device
-    arrays ``buffer_size`` batches ahead of consumption."""
+    arrays ``buffer_size`` batches ahead of consumption.
+
+    Threading contract: the producer thread does HOST work only (iterate +
+    ``transform``, i.e. the numpy batch assembly); every device RPC
+    (``device_put``) is issued from the consumer thread. Issuing transfers
+    from the producer concurrently with the consumer's execute dispatches
+    reproducibly wedged this image's tunneled TPU backend once batches grew
+    to MBs (r4: 4096-pt semseg — 512-pt runs never hit it). On real hardware
+    the lost transfer/compute overlap is microseconds for these batch sizes;
+    the host-side assembly, which is the actual bottleneck, still overlaps."""
     sharding_cache = {}
 
     def put(x):
@@ -69,7 +78,7 @@ def prefetch_to_device(
             for item in iterator:
                 if transform is not None:
                     item = transform(item)
-                q.put(jax.tree_util.tree_map(put, item))
+                q.put(item)
             q.put(_END)
         except BaseException as e:  # propagate to the consumer, don't fake EOF
             q.put(e)
@@ -82,7 +91,7 @@ def prefetch_to_device(
             break
         if isinstance(item, BaseException):
             raise item
-        yield item
+        yield jax.tree_util.tree_map(put, item)
 
 
 def host_shard(arrays: Sequence[np.ndarray], global_batch: int) -> Tuple[np.ndarray, ...]:
