@@ -214,3 +214,19 @@ class TestExtendedQuality:
         results = self._load()["results"]
         for head in ("semseg_window", "semseg_window_all"):
             assert "slower" in results[head].get("note", ""), head
+
+    def test_large_scene_window_pair(self):
+        """VERDICT r3 item 4: an exact/window_all quality pair at >=4096
+        points with PRODUCTION banding floors (no --fps_min_band override in
+        the config), so the 16k-scale speedup carries a measured quality
+        price tag at the scale window mode is built for."""
+        results = self._load()["results"]
+        for head in ("semseg_4k", "semseg_4k_window_all"):
+            assert head in results, f"{head} missing"
+            r = results[head]
+            assert r.get("pass") is True, f"{head}: {r}"
+            assert "4096" in r.get("config", ""), head
+            assert "fps_min_band" not in r.get("config", ""), (
+                f"{head}: production floors required"
+            )
+        assert "window_all" in results["semseg_4k_window_all"]["config"]
