@@ -463,10 +463,10 @@ def main():
     except OSError:
         pass  # read-only checkout: stderr copy still has the blob
 
-    print(headline_line(ps_best, ps_med, cls_best, cls_med), flush=True)
+    print(headline_line(ps_best, ps_med, cls_med), flush=True)
 
 
-def headline_line(ps_best, ps_med, cls_best, cls_med):
+def headline_line(ps_best, ps_med, cls_med):
     """The single stdout line the driver parses. Kept short and flat so it
     survives the driver's tail capture; guarded by tests/test_bench_contract.py."""
     headline = {

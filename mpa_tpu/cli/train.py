@@ -36,6 +36,16 @@ from mpa_tpu.parallel import make_mesh, replicate, shard_batch, jit_sharded_trai
 from mpa_tpu.train.checkpoint import BestCheckpointer
 from mpa_tpu.train.votes import vote_predict
 
+# Jitted once per process: eval metrics called per batch in evaluate().
+# Dispatched eagerly, each primitive is a separate compile RPC on the
+# tunneled axon backend — measured 113 s for ONE eager chamfer_distance call
+# (einsum + min + mean chain) vs <1 s jitted. Module-level singletons so the
+# jit cache persists across evaluate() calls.
+from mpa_tpu.models import rotation_geodesic_loss  # noqa: E402
+
+_chamfer_jit = jax.jit(tr.chamfer_distance)
+_geodesic_jit = jax.jit(rotation_geodesic_loss)
+
 
 def _pose_arrays(points: np.ndarray, seed: int):
     """Rotate each cloud by a random z-rotation; targets are the matrices."""
@@ -464,20 +474,26 @@ def main(argv=None):
     # long; 512-pt runs with fast compiles never hit it). One throwaway step
     # on a full-size example batch populates the jit cache; the result is
     # discarded, so training semantics are unchanged.
-    warm = host_batch(next(batches(train_arrays, cfg.batch_size, np.random.default_rng(1))))
-    if cfg.task == "partseg":
-        w_pts, w_onehot, w_labels = warm
-        w_inputs = (w_pts, w_onehot)
+    raw = next(batches(train_arrays, cfg.batch_size, np.random.default_rng(1)), None)
+    if raw is None:
+        # Train set smaller than one (drop_last) batch: zero train steps per
+        # epoch is a valid configuration (eval still runs) — nothing to warm.
+        log.info("train set < one batch; skipping compile warmup")
     else:
-        w_pts, w_labels = warm
-        w_inputs = w_pts
-    t0 = time.time()
-    # The step donates its state argument, so warm up on a throwaway copy.
-    warm_state = jax.tree_util.tree_map(jnp.copy, state)
-    jax.block_until_ready(
-        train_step(warm_state, *shard_batch((w_inputs, w_labels), mesh), step_rng)[1]
-    )
-    log.info(f"train step compiled in {time.time() - t0:.1f}s (warmup, discarded)")
+        warm = host_batch(raw)
+        if cfg.task == "partseg":
+            w_pts, w_onehot, w_labels = warm
+            w_inputs = (w_pts, w_onehot)
+        else:
+            w_pts, w_labels = warm
+            w_inputs = w_pts
+        t0 = time.time()
+        # The step donates its state argument, so warm up on a throwaway copy.
+        warm_state = jax.tree_util.tree_map(jnp.copy, state)
+        jax.block_until_ready(
+            train_step(warm_state, *shard_batch((w_inputs, w_labels), mesh), step_rng)[1]
+        )
+        log.info(f"train step compiled in {time.time() - t0:.1f}s (warmup, discarded)")
 
     global_step = 0
     for epoch in range(cfg.epochs):
@@ -540,13 +556,11 @@ def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epo
         return miou
 
     if cfg.task == "pose":
-        from mpa_tpu.models import rotation_geodesic_loss
-
         errs = []
         for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
             inputs, targets, _ = make_inputs(batch)
             pred = eval_step(state, inputs)
-            errs.append(float(rotation_geodesic_loss(pred, targets)))
+            errs.append(float(_geodesic_jit(pred, targets)))
         err_deg = float(np.mean(errs)) * 180.0 / np.pi
         log.info(f"eval epoch {epoch}: mean geodesic error {err_deg:.2f} deg")
         log.metrics(epoch, geodesic_error_deg=err_deg)
@@ -557,7 +571,7 @@ def evaluate(cfg, state, eval_step, test_arrays, make_inputs, root_key, log, epo
         for batch in batches(test_arrays, cfg.batch_size, drop_last=False):
             inputs, targets, _ = make_inputs(batch)
             coarse, fine = eval_step(state, inputs)
-            cds.append(float(tr.chamfer_distance(fine, targets)))
+            cds.append(float(_chamfer_jit(fine, targets)))
         cd = float(np.mean(cds))
         log.info(f"eval epoch {epoch}: chamfer {cd:.5f}")
         log.metrics(epoch, chamfer=cd)

@@ -112,5 +112,18 @@ class MarkovPartSegFP(nn.Module):
 
 
 @register_model("markov_partseg_fp")
-def _markov_partseg_fp(**kw) -> MarkovPartSegFP:
+def _markov_partseg_fp(
+    neighbor_mode="exact", fps_min_band=None, fps_min_samples=None, **kw
+) -> MarkovPartSegFP:
+    # The CLI passes the window-mode knobs to every partseg-task model
+    # (cli/train.py); this FP-decoder variant implements only exact search.
+    # Accept-and-check here so `--preset shapenetpart_fp` keeps working and
+    # `--neighbor_mode window` fails with a clear error instead of a
+    # dataclass TypeError. The fps floor knobs only affect banded (window
+    # mode) FPS, so ignoring them in exact mode changes nothing.
+    if neighbor_mode != "exact":
+        raise ValueError(
+            "markov_partseg_fp supports only neighbor_mode='exact'; use "
+            "markov_partseg for the Morton-window modes"
+        )
     return MarkovPartSegFP(**kw)

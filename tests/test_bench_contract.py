@@ -16,7 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def _line():
     import bench
 
-    return bench.headline_line(374.8, 374.8, 2918.8, 2915.6)
+    return bench.headline_line(374.8, 374.8, 2915.6)
 
 
 def test_headline_is_short():

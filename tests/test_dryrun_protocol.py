@@ -60,9 +60,13 @@ def test_warm_full_dryrun_under_300s():
     complete in <300 s on this image and print every workload line.
     Measured r4: warm 57 s, cold 247 s."""
     t0 = time.time()
+    # Pin the protocol env vars: a locally exported MPA_DRYRUN_SHAPES=published
+    # (this repo's own documented validation workflow) would otherwise leak in
+    # and blow the 300 s timeout.
+    env = {**os.environ, "MPA_DRYRUN_SHAPES": "tiny", "MPA_DRYRUN_BUDGET_S": "450"}
     p = subprocess.run(
         [sys.executable, "__graft_entry__.py", "8"],
-        cwd=REPO, capture_output=True, text=True, timeout=300,
+        cwd=REPO, capture_output=True, text=True, timeout=300, env=env,
     )
     wall = time.time() - t0
     assert p.returncode == 0, p.stderr[-2000:]

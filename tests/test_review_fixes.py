@@ -142,3 +142,44 @@ class TestRepSurf2xTrains:
             losses.append(float(loss))
         assert all(np.isfinite(losses)), losses
         assert losses[-1] < losses[0], losses
+
+
+class TestR4ReviewFixes:
+    """Regression tests for the round-4 self-review findings: the FP part-seg
+    variant must survive the CLI's unconditional window-mode kwargs, and the
+    compile warmup must tolerate a train set smaller than one batch."""
+
+    def test_partseg_fp_accepts_cli_window_kwargs(self):
+        # cli/train.py passes these to every partseg-task model; before the
+        # fix this raised TypeError and broke the shapenetpart_fp preset.
+        from mpa_tpu.models import get_model
+
+        m = get_model(
+            "markov_partseg_fp", num_parts=8, num_categories=4,
+            npoints=(32, 16, 8, 4), neighbor_mode="exact",
+            fps_min_band=512, fps_min_samples=64,
+        )
+        assert m is not None
+
+    def test_partseg_fp_rejects_window_mode_clearly(self):
+        from mpa_tpu.models import get_model
+
+        with pytest.raises(ValueError, match="markov_partseg"):
+            get_model("markov_partseg_fp", neighbor_mode="window")
+
+    @pytest.mark.slow
+    def test_train_cli_with_subbatch_train_set(self, tmp_path):
+        # Train set (4 clouds) < one drop_last batch (8): zero train steps per
+        # epoch is valid — the warmup must skip instead of raising
+        # StopIteration, and eval must still run.
+        from mpa_tpu.cli import train as cli
+
+        rc = cli.main([
+            "--task", "completion", "--dataset", "synthetic",
+            "--synthetic_train_clouds", "4", "--batch_size", "8",
+            "--num_points", "64", "--epochs", "1", "--num_votes", "1",
+            "--log_dir", str(tmp_path),
+        ])
+        assert rc in (0, None)
+        log = (tmp_path / "completion_synthetic" / "train.log").read_text()
+        assert "skipping compile warmup" in log
