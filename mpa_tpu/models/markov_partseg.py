@@ -48,15 +48,13 @@ class MarkovPartSeg(nn.Module):
     ) -> jnp.ndarray:
         """inputs = (points ``[B, N, 3]``, label_onehot ``[B, num_categories]``)
         -> per-point log-probs ``[B, N, num_parts]``."""
+        from mpa_tpu.nn.window_mode import morton_sort, morton_unsort
+
         points, label_onehot = inputs
         xyz = points[..., :3]
         inv_perm = None
         if self.neighbor_mode in ("window", "window_all"):
-            from mpa_tpu.ops.morton import morton_order
-
-            perm = morton_order(xyz)
-            inv_perm = jnp.argsort(perm, axis=-1)
-            xyz = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+            xyz, inv_perm = morton_sort(xyz)
         _, final = KeepHighResolutionPartSeg(
             npoints=tuple(self.npoints),
             channels=tuple(self.channels),
@@ -75,10 +73,7 @@ class MarkovPartSeg(nn.Module):
         x = LinearUnit(256, norm="batch", dtype=self.compute_dtype, name="conv9")(x, train=train)
         x = LinearUnit(128, norm="batch", dtype=self.compute_dtype, name="conv10")(x, train=train)
         x = nn.Dense(self.num_parts, name="conv11")(x.astype(jnp.float32))
-        out = jax.nn.log_softmax(x, axis=-1)
-        if inv_perm is not None:
-            out = jnp.take_along_axis(out, inv_perm[..., None], axis=1)
-        return out
+        return morton_unsort(jax.nn.log_softmax(x, axis=-1), inv_perm)
 
 
 @register_model("markov_partseg")

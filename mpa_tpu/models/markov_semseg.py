@@ -17,21 +17,21 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mpa_tpu.ops import (
-    banded_farthest_point_sample,
-    farthest_point_sample,
-    index_points,
-    pick_fps_bands,
-    scatter_mean_upsample,
+from mpa_tpu.ops import index_points
+from mpa_tpu.nn.window_mode import (
+    WindowModeMixin,
+    morton_sort,
+    morton_unsort,
+    scatter_mean_op,
+    spec_or_none,
 )
-from mpa_tpu.ops.morton import morton_order
 from mpa_tpu.nn.linear import LinearUnit
 from mpa_tpu.nn.local_merge import LocalMerge
 from mpa_tpu.nn.fuse import Fuse
 from mpa_tpu.models.registry import register_model
 
 
-class MarkovSemSeg(nn.Module):
+class MarkovSemSeg(WindowModeMixin, nn.Module):
     """points ``[B, N, 3+F]`` (xyz + F extra channels) -> ``[B, N, C]`` log-probs."""
 
     num_classes: int = 13
@@ -57,18 +57,6 @@ class MarkovSemSeg(nn.Module):
     fps_min_band: int = 512
     fps_min_samples: int = 64
 
-    @property
-    def _windowed(self) -> bool:
-        return self.neighbor_mode in ("window", "window_all")
-
-    @property
-    def _feature_mode(self) -> str:
-        return "window" if self.neighbor_mode == "window_all" else "exact"
-
-    @property
-    def _spatial_mode(self) -> str:
-        return "window" if self._windowed else "exact"
-
     @nn.compact
     def __call__(
         self, points, *, train: bool = True, rng: Optional[jax.Array] = None
@@ -76,9 +64,7 @@ class MarkovSemSeg(nn.Module):
         B, N, _ = points.shape
         inv_perm = None
         if self._windowed:
-            perm = morton_order(points[..., :3])
-            inv_perm = jnp.argsort(perm, axis=-1)
-            points = jnp.take_along_axis(points, perm[..., None], axis=1)
+            points, inv_perm = morton_sort(points)
         xyz = points[..., :3]
         extra = points[..., 3 : 3 + self.feature_channels]
         ch = self.channels
@@ -105,28 +91,9 @@ class MarkovSemSeg(nn.Module):
 
         cur_xyz = xyz
         for i, npoint in enumerate(self.npoints):
-            # 'window_all' (the full scalability mode) also bands FPS: the
-            # cloud is Morton-sorted here, so contiguous index bands are
-            # spatially coherent and per-band FPS keeps uniform coverage while
-            # cutting the one remaining serial chain by the band count
-            # (docs/PERF.md; approximation measured in extended_quality.json).
-            fps_bands = (
-                pick_fps_bands(
-                    cur_xyz.shape[1], npoint,
-                    min_band=self.fps_min_band,
-                    min_samples=self.fps_min_samples,
-                )
-                if self.neighbor_mode == "window_all"
-                else 1
+            fps_idx = self._fps_scale(
+                cur_xyz, npoint, None if fps_keys is None else fps_keys[i]
             )
-            fps_idx = banded_farthest_point_sample(
-                cur_xyz, npoint, fps_bands,
-                key=None if fps_keys is None else fps_keys[i],
-            )
-            if self._windowed:
-                # sorted FPS subset keeps every scale in Morton order (the
-                # banding precondition); an FPS SET is order-invariant.
-                fps_idx = jnp.sort(fps_idx, axis=-1)
             new_xyz = index_points(cur_xyz, fps_idx)
             f, idx_i, _ = LocalMerge(
                 ch[i + 1], self.num_neighbors, residual=self.residuals[i + 1],
@@ -155,27 +122,11 @@ class MarkovSemSeg(nn.Module):
             # mode the stored encoder idx is window-constrained whenever the
             # (S, N) pair admits a spec (LocalMerge's deterministic contract),
             # and the banded scatter kernel applies.
-            wspec = None
-            if self._windowed:
-                from mpa_tpu.ops.pallas.window_attention import (
-                    make_window_spec,
-                    windowed_scatter_mean,
-                )
-
-                try:
-                    wspec = make_window_spec(
-                        positions[s + 1].shape[1], positions[s].shape[1]
-                    )
-                except ValueError:
-                    wspec = None
-            if wspec is not None:
-                mid = lambda y, i=knn_list[s + 1], n=positions[s].shape[1], w=wspec: (
-                    windowed_scatter_mean(y, i, n, w)
-                )
-            else:
-                mid = lambda y, i=knn_list[s + 1], n=positions[s].shape[1]: (
-                    scatter_mean_upsample(y, i, n)
-                )
+            wspec = (
+                spec_or_none(positions[s + 1].shape[1], positions[s].shape[1])
+                if self._windowed else None
+            )
+            mid = scatter_mean_op(knn_list[s + 1], positions[s].shape[1], wspec)
             up = LinearUnit(ch[s], norm="batch", name=f"up_conv{s + 1}")(
                 up_feats[s + 1], train=train, mid_op=mid
             )
@@ -210,10 +161,7 @@ class MarkovSemSeg(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = LinearUnit(256, norm="batch", name="head2")(x, train=train)
         x = nn.Dense(self.num_classes, name="head3")(x)
-        out = jax.nn.log_softmax(x, axis=-1)
-        if inv_perm is not None:
-            out = jnp.take_along_axis(out, inv_perm[..., None], axis=1)
-        return out
+        return morton_unsort(jax.nn.log_softmax(x, axis=-1), inv_perm)
 
 
 @register_model("markov_semseg")

@@ -25,7 +25,7 @@ from typing import Any, List, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mpa_tpu.ops import index_points, knn, scatter_mean_upsample
+from mpa_tpu.ops import index_points, knn
 from mpa_tpu.nn.linear import LinearUnit
 
 
@@ -58,16 +58,13 @@ class Fuse(nn.Module):
 
     def _wspec(self, S: int, N: int):
         """The banding spec Fuse/LocalMerge searches use for an (S, N) scale
-        pair in window mode, or None. Deterministic in the shapes, so it also
-        tells whether a STORED encoder kNN index was window-constrained."""
+        pair in window mode, or None (shared admission: window_mode.spec_or_
+        none, so Fuse can never diverge from the models' decoder wiring)."""
         if self.knn_mode != "window":
             return None
-        from mpa_tpu.ops.pallas.window_attention import make_window_spec
+        from mpa_tpu.nn.window_mode import spec_or_none
 
-        try:
-            return make_window_spec(S, N)
-        except ValueError:
-            return None
+        return spec_or_none(S, N)
 
     @nn.compact
     def __call__(
@@ -107,18 +104,9 @@ class Fuse(nn.Module):
                     )
                 else:
                     _, up_idx = knn(self.num_neighbors, xyz[t], xyz[s])
-                if wspec is not None:
-                    from mpa_tpu.ops.pallas.window_attention import (
-                        windowed_scatter_mean,
-                    )
+                from mpa_tpu.nn.window_mode import scatter_mean_op
 
-                    scatter = lambda y, i=up_idx, n=num_fine, w=wspec: (
-                        windowed_scatter_mean(y, i, n, w)
-                    )
-                else:
-                    scatter = lambda y, i=up_idx, n=num_fine: (
-                        scatter_mean_upsample(y, i, n)
-                    )
+                scatter = scatter_mean_op(up_idx, num_fine, wspec)
                 # Hoist the Dense before the scatter (LinearUnit mid_op):
                 # the matmul runs on the coarse rows (2-16x fewer) and the
                 # scatter mixes rows at the target width c_t instead of c_s.

@@ -30,19 +30,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mpa_tpu.ops import (
-    banded_farthest_point_sample,
-    farthest_point_sample,
-    index_points,
-    pick_fps_bands,
-    scatter_mean_upsample,
-)
+from mpa_tpu.ops import index_points
+from mpa_tpu.nn.window_mode import WindowModeMixin, scatter_mean_op, spec_or_none
 from mpa_tpu.nn.linear import LinearUnit
 from mpa_tpu.nn.local_merge import LocalMerge
 from mpa_tpu.nn.fuse import Fuse
 
 
-class KeepHighResolutionPartSeg(nn.Module):
+class KeepHighResolutionPartSeg(WindowModeMixin, nn.Module):
     npoints: Sequence[int] = (1024, 512, 256, 128)  # scales 1..4 (scale 0 = input N)
     channels: Sequence[int] = (64, 64, 64, 128, 256)  # c0..c4
     residuals: Sequence[bool] = (True, False, False, True, True)
@@ -61,18 +56,6 @@ class KeepHighResolutionPartSeg(nn.Module):
     neighbor_mode: str = "exact"
     fps_min_band: int = 512
     fps_min_samples: int = 64
-
-    @property
-    def _windowed(self) -> bool:
-        return self.neighbor_mode in ("window", "window_all")
-
-    @property
-    def _feature_mode(self) -> str:
-        return "window" if self.neighbor_mode == "window_all" else "exact"
-
-    @property
-    def _spatial_mode(self) -> str:
-        return "window" if self._windowed else "exact"
 
     @nn.compact
     def __call__(
@@ -111,23 +94,9 @@ class KeepHighResolutionPartSeg(nn.Module):
 
         cur_xyz = xyz
         for i, npoint in enumerate(self.npoints):
-            fps_bands = (
-                pick_fps_bands(
-                    cur_xyz.shape[1], npoint,
-                    min_band=self.fps_min_band,
-                    min_samples=self.fps_min_samples,
-                )
-                if self.neighbor_mode == "window_all"
-                else 1
+            fps_idx = self._fps_scale(
+                cur_xyz, npoint, None if fps_keys is None else fps_keys[i]
             )
-            fps_idx = banded_farthest_point_sample(
-                cur_xyz, npoint, fps_bands,
-                key=None if fps_keys is None else fps_keys[i],
-            )
-            if self._windowed:
-                # sorted FPS subset keeps every scale in Morton order (the
-                # banding precondition); an FPS SET is order-invariant.
-                fps_idx = jnp.sort(fps_idx, axis=-1)
             new_xyz = index_points(cur_xyz, fps_idx)
             f, idx_i, d_i = LocalMerge(
                 ch[i + 1], self.num_neighbors, residual=self.residuals[i + 1],
@@ -168,27 +137,11 @@ class KeepHighResolutionPartSeg(nn.Module):
             # the coarse rows, scatter at the narrower target width. In window
             # mode the stored encoder idx is window-constrained whenever the
             # (S, N) pair admits a spec, and the banded scatter kernel applies.
-            wspec = None
-            if self._windowed:
-                from mpa_tpu.ops.pallas.window_attention import (
-                    make_window_spec,
-                    windowed_scatter_mean,
-                )
-
-                try:
-                    wspec = make_window_spec(
-                        positions[s + 1].shape[1], positions[s].shape[1]
-                    )
-                except ValueError:
-                    wspec = None
-            if wspec is not None:
-                mid = lambda y, i=knn_list[s + 1], n=num_fine, w=wspec: (
-                    windowed_scatter_mean(y, i, n, w)
-                )
-            else:
-                mid = lambda y, i=knn_list[s + 1], n=num_fine: (
-                    scatter_mean_upsample(y, i, n)
-                )
+            wspec = (
+                spec_or_none(positions[s + 1].shape[1], num_fine)
+                if self._windowed else None
+            )
+            mid = scatter_mean_op(knn_list[s + 1], num_fine, wspec)
             up = LinearUnit(ch[s], norm="batch", dtype=self.dtype, name=f"up_conv{s + 1}")(
                 source, train=train, mid_op=mid
             )
