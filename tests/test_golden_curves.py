@@ -230,3 +230,16 @@ class TestExtendedQuality:
                 f"{head}: production floors required"
             )
         assert "window_all" in results["semseg_4k_window_all"]["config"]
+
+    def test_partseg_window_pair(self):
+        """r4 wired the window modes into the part-seg stack; the artifact
+        must carry an exact/window_all pair at the published 2048 points with
+        production banding floors (same methodology as the semseg_4k pair)."""
+        results = self._load()["results"]
+        for head in ("partseg_2k", "partseg_2k_window_all"):
+            assert head in results, f"{head} missing"
+            r = results[head]
+            assert r.get("pass") is True, f"{head}: {r}"
+            assert "2048" in r.get("config", ""), head
+            assert "fps_min_band" not in r.get("config", ""), head
+        assert "window_all" in results["partseg_2k_window_all"]["config"]
