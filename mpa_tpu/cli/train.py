@@ -266,6 +266,17 @@ def dry_data_check(cfg) -> int:
 
 
 def main(argv=None):
+    # Live stack dumps without killing the run: `kill -USR1 <pid>` prints
+    # every thread's Python stack to stderr. The tunneled backend's stalls
+    # (device RPCs blocking for minutes) are otherwise undiagnosable.
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):
+        pass  # non-main thread or platform without SIGUSR1
+
     parser = argparse.ArgumentParser()
     add_config_flags(parser, TrainConfig())
     parser.add_argument("--max_steps", type=int, default=0, help="early stop for smoke runs")
