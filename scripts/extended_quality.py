@@ -26,37 +26,53 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Relative-bar margin for the window-mode heads (VERDICT r4 item 4): a
+# window run must land within this of its exact anchor's MEASURED value —
+# absolute bars (r4 shipped 0.73 vs a measured 0.8192) tolerated ~4x the
+# observed banding price before failing, so a regression that doubled the
+# price would have passed silently.
+REL_MARGIN = 0.03
+
 BARS = {
-    # head: (metric key, comparator, bar) — matches BASELINE.md
+    # head: (metric key, comparator, bar). bar is either an absolute float
+    # (matches BASELINE.md) or ("rel", anchor_head, fallback_abs): resolved
+    # to anchor's measured value - REL_MARGIN when the anchor result exists
+    # (same run or the committed artifact), else fallback_abs.
     "semseg": ("block_miou", ">=", 0.95),
     # window mode is an APPROXIMATION (Morton-banded neighbourhoods,
-    # docs/PERF.md); the quality bar documents that the banded graph still
-    # learns the task to the same standard as exact search.
-    "semseg_window": ("block_miou", ">=", 0.95),
+    # docs/PERF.md); the relative bar documents that the banded graph still
+    # learns the task to the exact-search standard minus a bounded price.
+    "semseg_window": ("block_miou", ">=", ("rel", "semseg", 0.95)),
     # window_all additionally bands the FEATURE-space kNN (the strongest
     # approximation; ADVICE r1 asked for it to be measured, not silent).
-    "semseg_window_all": ("block_miou", ">=", 0.95),
+    "semseg_window_all": ("block_miou", ">=", ("rel", "semseg", 0.95)),
     "pose": ("geodesic_error_deg", "<=", 10.0),
     "completion": ("chamfer", "<=", 2e-2),
     # Large-scene pair (VERDICT r3 item 4): window mode exists FOR large
     # scenes, so its quality price must be measured at a scale where the
     # production banding floors actually engage (4096 pts; the 512-pt runs
     # above lower the floors artificially). The exact run anchors the task;
-    # window_all's bar is deliberately looser — it reproduces only 60-85% of
-    # exact kNN picks at this scale (docs/PERF.md) and the artifact records
-    # the resulting mIoU delta as the speedup's price tag.
+    # window_all reproduces only 60-85% of exact kNN picks at this scale
+    # (docs/PERF.md) and the artifact records the resulting mIoU delta as
+    # the speedup's price tag.
     "semseg_4k": ("block_miou", ">=", 0.95),
-    "semseg_4k_window_all": ("block_miou", ">=", 0.90),
+    "semseg_4k_window_all": ("block_miou", ">=", ("rel", "semseg_4k", 0.90)),
     # r4 wired the window modes into the part-seg stack (markov_partseg
     # neighbor_mode); same methodology as the semseg_4k pair — exact anchors
     # the task at the published point count (2048) with PRODUCTION banding
-    # floors, window_all's looser bar records the approximation's price.
-    # Bars are measured-with-margin: the composed-primitive part task
-    # plateaus ~0.82 ins-mIoU (80 cosine epochs measured 0.8192 exact; the
-    # 500-step golden partseg curves plateau there too — overlapping-part
-    # ceiling, not undertraining).
+    # floors, window_all's relative bar records the approximation's price.
+    # The composed-primitive part task plateaus ~0.82 ins-mIoU (80 cosine
+    # epochs measured 0.8192 exact; the 500-step golden partseg curves
+    # plateau there too — overlapping-part ceiling, not undertraining).
     "partseg_2k": ("ins_miou", ">=", 0.78),
-    "partseg_2k_window_all": ("ins_miou", ">=", 0.73),
+    "partseg_2k_window_all": ("ins_miou", ">=", ("rel", "partseg_2k", 0.73)),
+    # 16k pair (VERDICT r4 item 3): the 3.32x window_all speedup headline is
+    # measured at 16384 points, where the window covers a SMALLER fraction
+    # of the scene than at 4k — so the 4k quality pair does not bound this
+    # one. Production floors, same task family; epochs wall-budgeted for the
+    # chip (exact at 16k is the expensive anchor).
+    "semseg_16k": ("block_miou", ">=", 0.95),
+    "semseg_16k_window_all": ("block_miou", ">=", ("rel", "semseg_16k", 0.90)),
 }
 
 RUNS = {
@@ -109,6 +125,20 @@ RUNS = {
                               "--learning_rate", "0.1", "--scheduler", "cos",
                               "--eta_min", "1e-3",
                               "--neighbor_mode", "window_all"],
+    # The 16k pair: the scale of bench.py's window_all speedup headline.
+    # Production floors; batch and epochs wall-budgeted for the chip (the
+    # exact anchor is the expensive run at this scale). Room density scales
+    # with num_points (cli/train.py _semseg_synthetic) so blocks hold ~2.4x
+    # replacement like the 4k protocol rather than 10x.
+    "semseg_16k": ["--task", "semseg", "--dataset", "synthetic",
+                   "--num_points", "16384", "--batch_size", "4", "--epochs",
+                   "24", "--learning_rate", "0.05", "--scheduler", "cos",
+                   "--eta_min", "1e-3"],
+    "semseg_16k_window_all": ["--task", "semseg", "--dataset", "synthetic",
+                              "--num_points", "16384", "--batch_size", "4",
+                              "--epochs", "24", "--learning_rate", "0.05",
+                              "--scheduler", "cos", "--eta_min", "1e-3",
+                              "--neighbor_mode", "window_all"],
     "pose": ["--task", "pose", "--dataset", "synthetic", "--num_points",
              "256", "--batch_size", "32", "--epochs", "100",
              "--synthetic_train_clouds", "4096",
@@ -125,6 +155,7 @@ RUNS = {
 
 QUICK = {"semseg": "2", "semseg_window": "2", "semseg_window_all": "2",
          "semseg_4k": "1", "semseg_4k_window_all": "1",
+         "semseg_16k": "1", "semseg_16k_window_all": "1",
          "partseg_2k": "1", "partseg_2k_window_all": "1",
          "pose": "2", "completion": "2"}
 
@@ -151,6 +182,11 @@ NOTES = {
         "production banding floors at the published part-seg point count; "
         "the ins-mIoU delta vs partseg_2k is the quality price of the banded "
         "approximation on the part-seg stack (wired r4)"
+    ),
+    "semseg_16k_window_all": (
+        "quality price at the 16384-pt scale of the bench speedup headline "
+        "itself — the window covers a smaller scene fraction here than at "
+        "4k, so the 4k pair does not bound this one (VERDICT r4 item 3)"
     ),
 }
 
@@ -202,11 +238,23 @@ def main():
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
+            f.write("\n")
 
     heads = args.heads.split(",") if args.heads else list(RUNS)
     for head in heads:
         cli = RUNS[head]
         key, cmp_, bar = BARS[head]
+        bar_rule = None
+        if isinstance(bar, tuple):
+            _, anchor, fallback = bar
+            aval = results.get(anchor, {}).get("value")
+            if aval is not None:
+                bar = round(aval - REL_MARGIN, 4)
+                bar_rule = f"{anchor} measured {aval} - margin {REL_MARGIN}"
+            else:
+                bar = fallback
+                bar_rule = (f"absolute fallback {fallback} "
+                            f"(anchor {anchor} not measured)")
         with tempfile.TemporaryDirectory() as d:
             cmd = [sys.executable, "-m", "mpa_tpu.cli.train", *cli,
                    "--log_dir", d]
@@ -235,6 +283,8 @@ def main():
                 "wall_s": round(time.time() - t0, 1),
                 "config": " ".join(cli),
             }
+            if bar_rule:
+                results[head]["bar_rule"] = bar_rule
             if head in NOTES:
                 results[head]["note"] = NOTES[head]
             print(f"{head}: {key}={val} (bar {cmp_} {bar}) -> "

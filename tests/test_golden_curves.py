@@ -243,3 +243,56 @@ class TestExtendedQuality:
             assert "2048" in r.get("config", ""), head
             assert "fps_min_band" not in r.get("config", ""), head
         assert "window_all" in results["partseg_2k_window_all"]["config"]
+
+    # window head -> its exact anchor; every window-mode entry must be
+    # barred RELATIVE to the anchor's measured value (VERDICT r4 item 4:
+    # the old absolute bars tolerated ~4x the observed banding price).
+    WINDOW_ANCHORS = {
+        "semseg_window": "semseg",
+        "semseg_window_all": "semseg",
+        "semseg_4k_window_all": "semseg_4k",
+        "partseg_2k_window_all": "partseg_2k",
+        "semseg_16k_window_all": "semseg_16k",
+    }
+    REL_MARGIN = 0.03
+
+    def test_window_bars_are_relative(self):
+        """Each window-mode result must (a) carry a bar derived from its
+        exact anchor's measured value and (b) actually land within
+        REL_MARGIN of that anchor — so a banding regression that doubles
+        the quality price fails the guard instead of hiding under a slack
+        absolute bar."""
+        results = self._load()["results"]
+        for w, anchor in self.WINDOW_ANCHORS.items():
+            if w not in results:
+                continue  # 16k pair lands in r5; earlier pairs all present
+            rw, ra = results[w], results[anchor]
+            assert ra.get("value") is not None, anchor
+            assert rw.get("value") is not None, w
+            assert anchor in rw.get("bar_rule", ""), (
+                f"{w}: bar not expressed relative to {anchor}: {rw}"
+            )
+            assert abs(rw["bar"] - (ra["value"] - self.REL_MARGIN)) < 1e-6, (
+                f"{w}: bar {rw['bar']} != {anchor} value {ra['value']} - "
+                f"{self.REL_MARGIN}"
+            )
+            assert rw["value"] >= ra["value"] - self.REL_MARGIN, (
+                f"{w}: measured {rw['value']} more than {self.REL_MARGIN} "
+                f"below {anchor}'s {ra['value']}"
+            )
+
+    def test_16k_window_pair(self):
+        """VERDICT r4 item 3: the 3.32x window_all speedup headline is
+        measured at 16384 points; its quality price must be measured at
+        that same scale (the window covers a smaller scene fraction at 16k
+        than at 4k, so the 4k pair does not bound it)."""
+        results = self._load()["results"]
+        if "semseg_16k" not in results:
+            pytest.skip("16k pair not yet measured (r5 measurement in flight)")
+        for head in ("semseg_16k", "semseg_16k_window_all"):
+            assert head in results, f"{head} missing"
+            r = results[head]
+            assert r.get("pass") is True, f"{head}: {r}"
+            assert "16384" in r.get("config", ""), head
+            assert "fps_min_band" not in r.get("config", ""), head
+        assert "window_all" in results["semseg_16k_window_all"]["config"]
