@@ -80,14 +80,20 @@ def chunklocal_pool(packed: jnp.ndarray, spec, C: int) -> jnp.ndarray:
     return jnp.take(ctx, owner, axis=1)
 
 
-def _med_ms(fn, args, iters):
-    out = jax.block_until_ready(fn(*args))  # compile + warm
+def _med_ms(fn, args, iters, reps=5):
+    """Median per-call ms over ``reps`` windows of ``iters`` calls, each
+    window fenced by a HOST transfer of the fn's scalar output — the axon
+    tunnel's block_until_ready returns before device work completes
+    (bench.py:17-19), so timed fns must return a jnp scalar."""
+    float(fn(*args))  # compile + warm + drain
     ts = []
-    for _ in range(iters):
+    for _ in range(reps):
         t = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
-        ts.append((time.perf_counter() - t) * 1e3)
-    return statistics.median(ts), out
+        for _ in range(iters):
+            out = fn(*args)
+        float(out)  # true fence
+        ts.append((time.perf_counter() - t) / iters * 1e3)
+    return statistics.median(ts)
 
 
 def main():
@@ -110,10 +116,11 @@ def main():
     packed = packed.at[..., :C].set(jnp.exp(packed[..., :C]))  # E > 0
 
     # --- shipped banded path: windowed kNN + banded fused attention ---
+    # Timed fns return a jnp SCALAR so the host fence is one float fetch.
     @jax.jit
     def banded_fwd(xyz, packed):
         _, idx, sp = windowed_knn_with_spec(K, xyz, xyz)
-        return windowed_transition_attention(packed, idx, None, 1, C, sp)
+        return jnp.sum(windowed_transition_attention(packed, idx, None, 1, C, sp))
 
     @jax.jit
     def banded_fwdbwd(xyz, packed):
@@ -124,26 +131,30 @@ def main():
                 windowed_transition_attention(p, idx, None, 1, C, sp) ** 2
             )
 
-        return jax.value_and_grad(f)(packed)
+        loss, g = jax.value_and_grad(f)(packed)
+        return loss + jnp.sum(g[0, 0])
 
     # --- chunk-local pool: no indices at all ---
     @jax.jit
     def pool_fwd(packed):
-        return chunklocal_pool(packed, spec, C)
+        return jnp.sum(chunklocal_pool(packed, spec, C))
 
     @jax.jit
     def pool_fwdbwd(packed):
         def f(p):
             return jnp.sum(chunklocal_pool(p, spec, C) ** 2)
 
-        return jax.value_and_grad(f)(packed)
+        loss, g = jax.value_and_grad(f)(packed)
+        return loss + jnp.sum(g[0, 0])
+
+    # Shape sanity (un-timed).
+    assert chunklocal_pool(packed, spec, C).shape == (B, N, C)
 
     res = {}
-    res["banded_fwd"], ctx_b = _med_ms(banded_fwd, (xyz, packed), args.iters)
-    res["banded_fwdbwd"], _ = _med_ms(banded_fwdbwd, (xyz, packed), args.iters)
-    res["chunklocal_fwd"], ctx_p = _med_ms(pool_fwd, (packed,), args.iters)
-    res["chunklocal_fwdbwd"], _ = _med_ms(pool_fwdbwd, (packed,), args.iters)
-    assert ctx_b.shape == ctx_p.shape == (B, N, C)
+    res["banded_fwd"] = _med_ms(banded_fwd, (xyz, packed), args.iters)
+    res["banded_fwdbwd"] = _med_ms(banded_fwdbwd, (xyz, packed), args.iters)
+    res["chunklocal_fwd"] = _med_ms(pool_fwd, (packed,), args.iters)
+    res["chunklocal_fwdbwd"] = _med_ms(pool_fwdbwd, (packed,), args.iters)
 
     for k, v in res.items():
         print(f"{k:>18s}: {v:7.3f} ms")

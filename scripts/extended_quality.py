@@ -272,6 +272,8 @@ def main():
                     "comparator": cmp_, "pass": False,
                     "error": p.stderr[-500:],
                 }
+                if bar_rule:
+                    results[head]["bar_rule"] = bar_rule
                 print(f"{head}: FAILED\n{p.stderr[-2000:]}", flush=True)
                 write_out()
                 continue

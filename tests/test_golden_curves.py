@@ -287,8 +287,6 @@ class TestExtendedQuality:
         that same scale (the window covers a smaller scene fraction at 16k
         than at 4k, so the 4k pair does not bound it)."""
         results = self._load()["results"]
-        if "semseg_16k" not in results:
-            pytest.skip("16k pair not yet measured (r5 measurement in flight)")
         for head in ("semseg_16k", "semseg_16k_window_all"):
             assert head in results, f"{head} missing"
             r = results[head]
