@@ -99,7 +99,11 @@ def main(argv=None):
             f"({len(report['skipped_torch_keys'])} dead/aux keys skipped)"
         )
     elif args.checkpoint:
-        restored = BestCheckpointer(args.checkpoint).restore(state)
+        # Weights only: eval's tx is a dummy (lr 0 SGD), so templating the
+        # stored optimizer state would fail for any training optimizer.
+        restored = BestCheckpointer(args.checkpoint).restore(
+            state, restore_optimizer=False
+        )
         if restored is None:
             raise SystemExit(f"no checkpoint under {args.checkpoint}")
         state, best = restored

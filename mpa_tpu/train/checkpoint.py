@@ -69,12 +69,24 @@ class BestCheckpointer:
                     break
         if not os.path.exists(path):
             return None
-        payload = self._ckptr.restore(
-            path, {"state": target_state, "metric": 0.0}
-        )
-        state = payload["state"]
         if not restore_optimizer:
-            # Reference-parity resume: weights only, fresh optimizer.
-            state = state.replace(opt_state=target_state.opt_state)
+            # Reference-parity resume / eval: weights only, fresh optimizer.
+            # Restore WITHOUT the target template — templating the full
+            # TrainState requires the stored opt_state's structure to match
+            # the caller's, which fails exactly in the legitimate use case
+            # (eval restores a training checkpoint with a dummy SGD tx;
+            # caught by the parity runbook's dry-run rehearsal, r5).
+            payload = self._ckptr.restore(path)
+            st = payload["state"]
+            state = target_state.replace(
+                params=st["params"],
+                batch_stats=st["batch_stats"],
+                step=st["step"],
+            )
+        else:
+            payload = self._ckptr.restore(
+                path, {"state": target_state, "metric": 0.0}
+            )
+            state = payload["state"]
         self.best_metric = float(payload["metric"])
         return state, self.best_metric

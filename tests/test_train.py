@@ -237,6 +237,40 @@ class TestCheckpoint:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_weights_only_restore_across_optimizers(self, tmp_path):
+        """cli/eval restores a TRAINING checkpoint into a dummy-SGD state:
+        restore_optimizer=False must not template the stored opt_state (an
+        adam-l2 checkpoint has a different opt-state structure than sgd —
+        the full-template restore failed exactly there; caught by the parity
+        runbook's dry-run rehearsal, r5)."""
+        model = tiny_model()
+        pts, _ = synthetic_clouds(4, num_points=32, num_classes=4)
+        train_tx = tr.make_optimizer("adam-l2", 1e-3)
+        state = tr.create_train_state(
+            model, jax.random.key(0), jnp.asarray(pts), train_tx
+        ).replace(step=77)
+        ck = BestCheckpointer(str(tmp_path / "ckpt"))
+        assert ck.save_if_best(state, 0.8)
+
+        eval_tx = tr.make_optimizer("sgd", 0.0)
+        eval_state = tr.create_train_state(
+            model, jax.random.key(9), jnp.asarray(pts), eval_tx
+        )
+        restored, metric = BestCheckpointer(str(tmp_path / "ckpt")).restore(
+            eval_state, restore_optimizer=False
+        )
+        assert metric == pytest.approx(0.8)
+        assert int(restored.step) == 77
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # The optimizer state stays the caller's (fresh sgd), untouched.
+        assert jax.tree_util.tree_structure(
+            restored.opt_state
+        ) == jax.tree_util.tree_structure(eval_state.opt_state)
+
 
 @pytest.mark.slow
 class TestMultiDevicePartSeg:
