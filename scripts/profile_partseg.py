@@ -23,14 +23,24 @@ def main():
     from mpa_tpu.utils import profiling
 
     name = sys.argv[1] if len(sys.argv) > 1 else "markov_partseg"
-    if name == "markov_cls":
+    if name in ("markov_cls", "repsurf_ssg_2x"):
         B, N = 64, 1024
-        model = get_model("markov_cls", num_classes=15)
+        model = get_model(name, num_classes=15)
         pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
         labels = jax.random.randint(jax.random.key(1), (B,), 0, 15)
         tx = tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4)
         state = tr.create_train_state(model, jax.random.key(2), pts[:2], tx)
         step = jax.jit(tr.make_train_step(tr.smooth_cls_loss), donate_argnums=(0,))
+        args = (pts, labels, jax.random.key(3))
+    elif name == "markov_semseg":
+        B, N = 16, 4096
+        model = get_model(name)
+        pts = jax.random.normal(jax.random.key(0), (B, N, 9), jnp.float32)
+        labels = jax.random.randint(jax.random.key(1), (B, N), 0, 13)
+        tx = tr.make_optimizer("sgd", 0.1, weight_decay=1e-4, momentum=0.9)
+        state = tr.create_train_state(model, jax.random.key(2), pts[:2], tx)
+        loss_fn = lambda out, lab: tr.smooth_seg_loss(out, lab, 0.1)
+        step = jax.jit(tr.make_train_step(loss_fn), donate_argnums=(0,))
         args = (pts, labels, jax.random.key(3))
     else:
         B, N = int(os.environ.get("MPA_PROFILE_B", "16")), 2048

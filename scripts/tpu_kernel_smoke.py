@@ -54,6 +54,26 @@ def main():
     failures += not ok
     print(f"farthest_point_sample_pallas: {'OK' if ok else 'MISMATCH'}")
 
+    # Ball grouping (r5): sentinel-stage parity vs the XLA marked-top_k
+    # formulation; disputes only allowed within float noise of the radius.
+    from mpa_tpu.ops.pallas.ball_pallas import ball_query_indices_pallas
+
+    radius, ns = 0.3, 24
+    got = np.asarray(ball_query_indices_pallas(radius, ns, base, query))
+    d = np.asarray(ops.square_distance(query, base))
+    marked = np.where(d <= radius * radius, np.arange(base.shape[1]), base.shape[1])
+    want = np.sort(marked, axis=-1)[..., :ns].astype(np.int32)
+    bad = 0
+    for b, q, k in np.argwhere(got != want):
+        for cand in (got[b, q, k], want[b, q, k]):
+            if cand < base.shape[1]:
+                bad += abs(d[b, q, cand] - radius**2) > 1e-4
+    ok = bad == 0
+    failures += not ok
+    flips = int(np.sum(got != want))
+    print(f"ball_query_indices_pallas: {'OK' if ok else 'MISMATCH'}"
+          f" ({flips} boundary flips, {bad} real)")
+
     feats = jnp.asarray(r.normal(size=(4, 500, 64)).astype(np.float32))
     idx = jnp.asarray(r.integers(0, 1000, size=(4, 500, 8)).astype(np.int32))
     got = np.asarray(scatter_mean_upsample_pallas(feats, idx, 1000))

@@ -90,6 +90,59 @@ class TestKnnKernel:
         np.testing.assert_allclose(np.asarray(gq), np.asarray(wq), atol=1e-5)
 
 
+class TestBallQueryKernel:
+    """Fused ball grouping (ops/pallas/ball_pallas.py, r5): replaces the
+    [B, S, N] marked-index top_k that XLA lowers to a FULL SORT (7.35 ms/step
+    on repsurf_ssg_2x). Sentinel-stage output must match the XLA formulation
+    everywhere except points whose distance sits within float noise of the
+    radius boundary (the two paths compute d at different matmul precisions —
+    same documented caveat as the kNN kernel)."""
+
+    @staticmethod
+    def _oracle_sentinel(radius, nsample, xyz, new_xyz):
+        B, N, _ = xyz.shape
+        d = ops.square_distance(new_xyz, xyz)
+        arange = jnp.arange(N, dtype=jnp.int32)[None, None, :]
+        marked = jnp.where(d <= radius * radius, arange, N)
+        neg, _ = jax.lax.top_k(-marked, nsample)
+        return -neg
+
+    @pytest.mark.parametrize(
+        "N,S,ns,radius",
+        [
+            (100, 33, 8, 0.6),    # padded N, ragged S
+            (128, 128, 24, 0.3),  # the 2x model's nsample (fori_loop path)
+            (257, 40, 4, 0.2),    # sparse balls -> many sentinel slots
+            (64, 16, 64, 3.0),    # everything in radius, nsample == N
+        ],
+    )
+    def test_matches_xla_formulation(self, N, S, ns, radius):
+        from mpa_tpu.ops.pallas.ball_pallas import ball_query_indices_pallas
+
+        r = rng(7)
+        xyz = jnp.asarray(r.normal(size=(2, N, 3)).astype(np.float32))
+        q = xyz[:, :S]
+        want = np.asarray(self._oracle_sentinel(radius, ns, xyz, q))
+        got = np.asarray(ball_query_indices_pallas(radius, ns, xyz, q))
+        if not np.array_equal(want, got):
+            # Disputed picks must all be radius-boundary cases.
+            d = np.asarray(ops.square_distance(q, xyz))
+            for b, s, k in np.argwhere(want != got):
+                for cand in (want[b, s, k], got[b, s, k]):
+                    if cand < N:
+                        assert abs(d[b, s, cand] - radius**2) < 1e-4, (
+                            b, s, k, d[b, s, cand], radius**2
+                        )
+
+    def test_identical_points_degenerate(self):
+        from mpa_tpu.ops.pallas.ball_pallas import ball_query_indices_pallas
+
+        xyz = jnp.ones((2, 256, 3))
+        want = np.asarray(self._oracle_sentinel(0.5, 16, xyz, xyz[:, :64]))
+        got = np.asarray(ball_query_indices_pallas(0.5, 16, xyz, xyz[:, :64]))
+        np.testing.assert_array_equal(want, got)
+
+
 class TestFpsKernel:
     @pytest.mark.parametrize("N,npoint", [(100, 30), (128, 64), (257, 128), (64, 64)])
     def test_matches_xla_fixed_start(self, N, npoint):
