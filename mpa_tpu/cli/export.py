@@ -65,7 +65,12 @@ def main(argv=None):
     state = tr.create_train_state(model, jax.random.key(0), example, tx)
     best = None
     if args.checkpoint:
-        restored = BestCheckpointer(args.checkpoint).restore(state)
+        # Weights only: export's tx is a dummy (lr 0 SGD); templating the
+        # stored optimizer state would fail for any adam-trained checkpoint
+        # (same cross-optimizer contract as cli/eval, fixed r5).
+        restored = BestCheckpointer(args.checkpoint).restore(
+            state, restore_optimizer=False
+        )
         if restored is None:
             raise SystemExit(f"no checkpoint under {args.checkpoint}")
         state, best = restored

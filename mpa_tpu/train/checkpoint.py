@@ -78,9 +78,32 @@ class BestCheckpointer:
             # caught by the parity runbook's dry-run rehearsal, r5).
             payload = self._ckptr.restore(path)
             st = payload["state"]
+            # Raw restore skips orbax's template check, so fail fast and
+            # clearly on an architecture mismatch instead of deferring to a
+            # cryptic flax shape error mid-apply.
+            want = jax.tree_util.tree_structure(target_state.params)
+            got = jax.tree_util.tree_structure(st["params"])
+            if want != got:
+                raise ValueError(
+                    f"checkpoint under {self.directory} holds a different "
+                    f"model architecture than the target state (param tree "
+                    f"mismatch):\n  checkpoint: {got}\n  target:     {want}"
+                )
+            for a, b in zip(
+                jax.tree_util.tree_leaves(st["params"]),
+                jax.tree_util.tree_leaves(target_state.params),
+            ):
+                if a.shape != b.shape:
+                    raise ValueError(
+                        f"checkpoint under {self.directory} has param shape "
+                        f"{a.shape} where the target expects {b.shape} — "
+                        "different model configuration"
+                    )
             state = target_state.replace(
                 params=st["params"],
-                batch_stats=st["batch_stats"],
+                # BN-free models round-trip an empty subtree that orbax may
+                # drop entirely from the raw payload.
+                batch_stats=st.get("batch_stats", target_state.batch_stats),
                 step=st["step"],
             )
         else:

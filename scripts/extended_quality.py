@@ -226,9 +226,32 @@ def main():
         with open(args.out) as f:
             results = json.load(f).get("results", {})
 
+    def reconcile_relative_bars():
+        """Re-derive every window head's bar from its anchor's CURRENT value
+        so a --heads subset re-run of an anchor can't leave dependent bars
+        stale (the artifact must satisfy test_window_bars_are_relative
+        regardless of which subset last ran)."""
+        for head, (_, cmp_, bar) in BARS.items():
+            if not isinstance(bar, tuple) or head not in results:
+                continue
+            _, anchor, _ = bar
+            aval = results.get(anchor, {}).get("value")
+            wval = results[head].get("value")
+            if aval is None or wval is None:
+                continue
+            newbar = round(aval - REL_MARGIN, 4)
+            results[head]["bar"] = newbar
+            results[head]["bar_rule"] = (
+                f"{anchor} measured {aval} - margin {REL_MARGIN}"
+            )
+            results[head]["pass"] = bool(
+                wval >= newbar if cmp_ == ">=" else wval <= newbar
+            )
+
     def write_out():
         # incremental checkpointing: a crash or kill mid-run must not lose
         # finished heads (an r2 run lost a 40-minute semseg PASS this way)
+        reconcile_relative_bars()
         payload = {
             "note": "synthetic-task convergence evidence for BASELINE.md's "
                     "self-set extended-head bars; full runs, real CLI pipeline",

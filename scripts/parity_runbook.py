@@ -153,7 +153,10 @@ def main(argv=None):
     plat = ["--platform", args.platform] if args.platform else []
     dataset = "synthetic" if args.dry_run else w["dataset"]
     root = ["--data_root", args.data_root] if args.data_root else []
-    if not args.dry_run and not args.data_root and args.stage != "eval":
+    if not args.dry_run and not args.data_root:
+        # Every real stage touches the dataset (eval loads the test split
+        # through the same loaders), so fail fast here with the layout hint
+        # rather than deep inside a loader.
         raise SystemExit(
             f"--data_root required for the real {args.workload} run "
             "(or pass --dry_run for the synthetic rehearsal). Expected "
@@ -164,10 +167,15 @@ def main(argv=None):
     # validate shapes/dtypes/label ranges, print the epoch plan. Fails fast
     # with the exact expected file layout if bytes are missing.
     if args.stage in ("check", "all") and not args.dry_run:
-        _run("check", py + ["mpa_tpu.cli.train"] + w["train"] + root
+        _run("check", py + ["mpa_tpu.cli.train"] + w["train"] + root + plat
              + ["--dry_data_check"])
         if args.stage == "check":
             return
+    if args.stage == "check" and args.dry_run:
+        print("[runbook] the data check is a no-op under --dry_run "
+              "(synthetic data needs no root); run --dry_run without "
+              "--stage to rehearse the train+eval chain.")
+        return
 
     # Stage 2 — train the full published recipe (skipped when evaluating a
     # transplanted reference checkpoint).

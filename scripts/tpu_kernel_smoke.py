@@ -54,25 +54,36 @@ def main():
     failures += not ok
     print(f"farthest_point_sample_pallas: {'OK' if ok else 'MISMATCH'}")
 
-    # Ball grouping (r5): sentinel-stage parity vs the XLA marked-top_k
-    # formulation; disputes only allowed within float noise of the radius.
+    # Ball grouping (r5): direct semantics check (ascending picks, in-radius
+    # within float tol, completeness) — immune to the slot-shift cascade a
+    # single boundary flip causes in an element-wise compare against the XLA
+    # formulation (one dropped boundary point shifts every later slot).
     from mpa_tpu.ops.pallas.ball_pallas import ball_query_indices_pallas
 
-    radius, ns = 0.3, 24
+    radius, ns, tol = 0.3, 24, 1e-4
+    Nb = base.shape[1]
     got = np.asarray(ball_query_indices_pallas(radius, ns, base, query))
     d = np.asarray(ops.square_distance(query, base))
-    marked = np.where(d <= radius * radius, np.arange(base.shape[1]), base.shape[1])
-    want = np.sort(marked, axis=-1)[..., :ns].astype(np.int32)
+    r2 = radius * radius
     bad = 0
-    for b, q, k in np.argwhere(got != want):
-        for cand in (got[b, q, k], want[b, q, k]):
-            if cand < base.shape[1]:
-                bad += abs(d[b, q, cand] - radius**2) > 1e-4
+    for b in range(got.shape[0]):
+        for s in range(got.shape[1]):
+            row = got[b, s]
+            picks = row[row < Nb]
+            ok_row = np.all(row[len(picks):] == Nb)
+            if len(picks) > 1:
+                ok_row &= bool(np.all(np.diff(picks) > 0))
+            if len(picks):
+                ok_row &= bool(np.all(d[b, s, picks] <= r2 + tol))
+            inside = np.where(d[b, s] < r2 - tol)[0]
+            if len(picks) < ns:
+                ok_row &= np.setdiff1d(inside, picks).size == 0
+            else:
+                ok_row &= np.setdiff1d(inside[inside < picks[-1]], picks).size == 0
+            bad += not ok_row
     ok = bad == 0
     failures += not ok
-    flips = int(np.sum(got != want))
-    print(f"ball_query_indices_pallas: {'OK' if ok else 'MISMATCH'}"
-          f" ({flips} boundary flips, {bad} real)")
+    print(f"ball_query_indices_pallas: {'OK' if ok else 'MISMATCH'} ({bad} bad rows)")
 
     feats = jnp.asarray(r.normal(size=(4, 500, 64)).astype(np.float32))
     idx = jnp.asarray(r.integers(0, 1000, size=(4, 500, 8)).astype(np.int32))

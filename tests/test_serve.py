@@ -70,6 +70,34 @@ def test_export_cli(tmp_path):
     assert bool(jnp.isfinite(logp).all())
 
 
+def test_export_cli_restores_adam_checkpoint(tmp_path):
+    """Regression (r5 review): export builds a dummy-SGD state, so the
+    checkpoint restore must be weights-only — a full-template restore fails
+    for any adam-trained checkpoint (same contract as cli/eval)."""
+    from mpa_tpu.cli import export as export_cli
+    from mpa_tpu import train as tr
+    from mpa_tpu.models import get_model
+    from mpa_tpu.train.checkpoint import BestCheckpointer
+
+    model = get_model("markov_cls", num_classes=15)
+    pts = jnp.zeros((2, 64, 3), jnp.float32)
+    tx = tr.make_optimizer("adam-l2", 1e-3)
+    state = tr.create_train_state(model, jax.random.key(0), pts, tx)
+    ck = BestCheckpointer(str(tmp_path / "ckpt"))
+    assert ck.save_if_best(state, 0.5)
+
+    out = str(tmp_path / "m.shlo")
+    export_cli.main([
+        "--preset", "scanobjectnn_cls", "--num_points", "64",
+        "--serve_batch", "2", "--out", out,
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ])
+    infer = serve.load_inference(out)
+    logp = infer(jnp.zeros((2, 64, 3), jnp.float32))
+    assert logp.shape == (2, 15)
+    assert bool(jnp.isfinite(logp).all())
+
+
 @pytest.mark.slow
 def test_partseg_export_roundtrip(tmp_path):
     """Tuple-input (points, label-onehot) model exports and round-trips."""

@@ -313,6 +313,25 @@ class TestMultiDevicePartSeg:
         # f32 at loss ~2.25 — a missing/wrong collective is off by 1e-1+.
         assert abs(float(loss1) - float(loss8)) < 1e-4
 
+        # Sharded-vs-single shapes tile per-sample reductions differently, so
+        # a near-tie kNN/FPS selection can flip on isolated samples and move a
+        # few gradient elements discretely; a real sharding bug diverges
+        # everywhere by orders of magnitude. Assert: tiny global max deviation
+        # AND >=99.5% of elements at fp-reduction-noise level.
+        def assert_matches(t1, t8, what, frac_ok):
+            a = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(t1)])
+            b = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(t8)])
+            diff = np.abs(a - b)
+            assert diff.max() < 1e-3, f"{what}: max diff {diff.max()}"
+            frac = float(np.mean(diff <= 1e-4))
+            assert frac >= frac_ok, f"{what}: only {frac:.4f} within 1e-4"
+
+        assert_matches(s1.params, s8.params, "params", 0.995)
+        # Batch stats also reduce globally (cross-replica BN); a flipped
+        # sample shifts batch means by O(1/B), so allow a few more elements
+        # in the 1e-4..1e-3 band.
+        assert_matches(s1.batch_stats, s8.batch_stats, "batch_stats", 0.95)
+
     def test_sharded_partseg_parity_at_published_shape(self):
         """VERDICT r4 item 1: every other sharded-vs-single parity check runs
         at N=32-64, so 'DP works at the paper's shapes' was extrapolation.
@@ -354,25 +373,6 @@ class TestMultiDevicePartSeg:
         l1 = jax.tree_util.tree_leaves(s1.params)[-1]
         l8v = jax.tree_util.tree_leaves(s8.params)[-1]
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l8v), atol=1e-4)
-
-        # Sharded-vs-single shapes tile per-sample reductions differently, so
-        # a near-tie kNN/FPS selection can flip on isolated samples and move a
-        # few gradient elements discretely; a real sharding bug diverges
-        # everywhere by orders of magnitude. Assert: tiny global max deviation
-        # AND >=99.5% of elements at fp-reduction-noise level.
-        def assert_matches(t1, t8, what, frac_ok):
-            a = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(t1)])
-            b = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(t8)])
-            diff = np.abs(a - b)
-            assert diff.max() < 1e-3, f"{what}: max diff {diff.max()}"
-            frac = float(np.mean(diff <= 1e-4))
-            assert frac >= frac_ok, f"{what}: only {frac:.4f} within 1e-4"
-
-        assert_matches(s1.params, s8.params, "params", 0.995)
-        # Batch stats also reduce globally (cross-replica BN); a flipped
-        # sample shifts batch means by O(1/B), so allow a few more elements
-        # in the 1e-4..1e-3 band.
-        assert_matches(s1.batch_stats, s8.batch_stats, "batch_stats", 0.95)
 
 
 def _sharded_vs_single(model, inputs, labels, loss_fn, *, seed=0, grad_mode="exact"):
