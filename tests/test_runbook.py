@@ -64,7 +64,8 @@ def test_eval_stage_without_checkpoint_fails_fast(tmp_path):
 def test_dry_run_chain_cls(tmp_path):
     """Full synthetic rehearsal: train 2 epochs -> checkpoint -> published
     eval protocol shape (repeats x votes) -> metric extracted + verdict
-    line. CPU platform so the chain works off-chip."""
+    line. CPU platform so the chain works off-chip. This rehearsal caught a
+    real data-day blocker in r5 (cross-optimizer checkpoint restore)."""
     p = _run(["scanobjectnn", "--dry_run", "--platform", "cpu",
               "--log_dir", str(tmp_path)], timeout=1500)
     assert p.returncode == 0, p.stderr[-3000:]
@@ -73,3 +74,19 @@ def test_dry_run_chain_cls(tmp_path):
     with open(jsonl) as f:
         recs = [json.loads(line) for line in f]
     assert any("best_vote_acc" in r for r in recs)
+
+
+@pytest.mark.slow
+def test_dry_run_chain_partseg(tmp_path):
+    """The part-seg chain exercises a different eval surface than cls: the
+    checkpoint restore into the vote + category-masked-argmax + per-category
+    mIoU table protocol."""
+    p = _run(["shapenetpart", "--dry_run", "--platform", "cpu",
+              "--log_dir", str(tmp_path)], timeout=1500)
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert "DRY RUN complete" in p.stdout
+    assert "Inctance avg mIOU" in p.stdout or "ins_miou" in p.stdout
+    jsonl = os.path.join(tmp_path, "eval_partseg_synthetic", "eval_metrics.jsonl")
+    with open(jsonl) as f:
+        recs = [json.loads(line) for line in f]
+    assert any("ins_miou" in r for r in recs)
