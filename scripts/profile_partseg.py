@@ -42,6 +42,22 @@ def main():
         loss_fn = lambda out, lab: tr.smooth_seg_loss(out, lab, 0.1)
         step = jax.jit(tr.make_train_step(loss_fn), donate_argnums=(0,))
         args = (pts, labels, jax.random.key(3))
+    elif name in ("markov_pose", "markov_completion"):
+        B, N = 64, 1024
+        model = get_model(name)
+        pts = jax.random.normal(jax.random.key(0), (B, N, 3), jnp.float32)
+        if name == "markov_pose":
+            from mpa_tpu.models import rotation_geodesic_loss
+
+            labels = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, 1, 1))
+            loss_fn = rotation_geodesic_loss
+        else:
+            labels = pts
+            loss_fn = tr.completion_loss
+        tx = tr.make_optimizer("adam-l2", 1e-3, weight_decay=1e-4)
+        state = tr.create_train_state(model, jax.random.key(2), pts[:2], tx)
+        step = jax.jit(tr.make_train_step(loss_fn), donate_argnums=(0,))
+        args = (pts, labels, jax.random.key(3))
     else:
         B, N = int(os.environ.get("MPA_PROFILE_B", "16")), 2048
         model = get_model(name)
